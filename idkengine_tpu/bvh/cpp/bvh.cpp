@@ -1,0 +1,806 @@
+// idkengine_tpu native BVH core.
+//
+// Host-side (CPU) acceleration-structure builder and query engine for the
+// TPU renderer: SweepSAH BLAS with Early-Split-Clipping pre-splitting,
+// bottom-up refit, closest-first ray traversal, box queries, PLOC TLAS, and
+// the moving-sphere collision routine. This is the native component that
+// plays the role of the reference's AOT-compiled C# BVH layer
+// (ref: IDKEngine/Source/Bvh/{BLAS,PreSplitting,TLAS,BVH}.cs and
+// Source/Shapes/Intersections.cs) — re-implemented from its described
+// algorithms, not translated.
+//
+// Layout invariants (chosen for TPU-friendly flattening, not identical to
+// the reference):
+//   - root is node 0
+//   - interior node stores left child index; right child = left + 1
+//   - leaf stores [first, first+count) range into tri_indices
+//   - tri_indices maps leaf slots to original triangle ids (post pre-split
+//     a triangle id may appear in several leaves)
+//
+// Build: g++ -O3 -march=native -shared -fPIC -o libidk_bvh.so bvh.cpp
+
+#include <algorithm>
+#include <atomic>
+#include <chrono>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Vec3 {
+  float x, y, z;
+  Vec3() : x(0), y(0), z(0) {}
+  Vec3(float a, float b, float c) : x(a), y(b), z(c) {}
+  float operator[](int i) const { return (&x)[i]; }
+  float& operator[](int i) { return (&x)[i]; }
+};
+static inline Vec3 operator+(Vec3 a, Vec3 b) { return {a.x + b.x, a.y + b.y, a.z + b.z}; }
+static inline Vec3 operator-(Vec3 a, Vec3 b) { return {a.x - b.x, a.y - b.y, a.z - b.z}; }
+static inline Vec3 operator*(Vec3 a, float s) { return {a.x * s, a.y * s, a.z * s}; }
+static inline Vec3 operator*(float s, Vec3 a) { return a * s; }
+static inline Vec3 operator*(Vec3 a, Vec3 b) { return {a.x * b.x, a.y * b.y, a.z * b.z}; }
+static inline Vec3 vmin(Vec3 a, Vec3 b) { return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)}; }
+static inline Vec3 vmax(Vec3 a, Vec3 b) { return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)}; }
+static inline float dot(Vec3 a, Vec3 b) { return a.x * b.x + a.y * b.y + a.z * b.z; }
+static inline Vec3 cross(Vec3 a, Vec3 b) {
+  return {a.y * b.z - a.z * b.y, a.z * b.x - a.x * b.z, a.x * b.y - a.y * b.x};
+}
+static inline float length(Vec3 a) { return std::sqrt(dot(a, a)); }
+
+struct AABB {
+  Vec3 mn, mx;
+  AABB() : mn(1e30f, 1e30f, 1e30f), mx(-1e30f, -1e30f, -1e30f) {}
+  void grow(Vec3 p) { mn = vmin(mn, p); mx = vmax(mx, p); }
+  void grow(const AABB& b) { mn = vmin(mn, b.mn); mx = vmax(mx, b.mx); }
+  Vec3 extent() const { return mx - mn; }
+  Vec3 center() const { return (mn + mx) * 0.5f; }
+  // Half surface area — the SAH metric (ref: MyMath.cs HalvedArea).
+  float half_area() const {
+    Vec3 e = extent();
+    if (e.x < 0) return 0.0f;
+    return e.x * (e.y + e.z) + e.y * e.z;
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Public node layout (must match numpy structured dtype on the Python side)
+// ---------------------------------------------------------------------------
+struct BlasNode {
+  float mn[3];
+  uint32_t left_or_first;  // interior: left child; leaf: first tri slot
+  float mx[3];
+  uint32_t count;          // 0 => interior, >0 => leaf triangle count
+};
+static_assert(sizeof(BlasNode) == 32, "node must be 32 bytes");
+
+struct Fragment {
+  AABB box;
+  Vec3 centroid;
+  uint32_t tri;  // original triangle id
+};
+
+// ---------------------------------------------------------------------------
+// Pre-splitting: Early-Split-Clipping of large/empty-space triangles into
+// multiple fragments before the SAH build (ref: Source/Bvh/PreSplitting.cs —
+// priority cbrt(extent^2 * emptyArea), budget = SplitFactor * N, recursive
+// splits snapped to global octree planes).
+// ---------------------------------------------------------------------------
+
+// Clip a convex polygon against the half-space axis<=pos / axis>=pos.
+static int clip_poly(const Vec3* in, int n, int axis, float pos, bool keep_below, Vec3* out) {
+  int m = 0;
+  for (int i = 0; i < n; i++) {
+    Vec3 a = in[i], b = in[(i + 1) % n];
+    float da = a[axis] - pos, db = b[axis] - pos;
+    bool ina = keep_below ? (da <= 0) : (da >= 0);
+    bool inb = keep_below ? (db <= 0) : (db >= 0);
+    if (ina) out[m++] = a;
+    if (ina != inb) {
+      float t = da / (da - db);
+      out[m++] = a + (b - a) * t;
+    }
+  }
+  return m;
+}
+
+static AABB poly_aabb(const Vec3* p, int n) {
+  AABB b;
+  for (int i = 0; i < n; i++) b.grow(p[i]);
+  return b;
+}
+
+// Largest power-of-two-aligned split plane inside (lo, hi): the octree-plane
+// snapping trick (ref: PreSplitting.cs GetNodeSize bit manipulation).
+static float octree_split_pos(float lo, float hi) {
+  if (!(lo < hi)) return 0.5f * (lo + hi);
+  // Find the coarsest grid 2^k with a plane strictly inside (lo, hi).
+  float size = hi - lo;
+  int e = (int)std::floor(std::log2(size));
+  for (int k = e + 1; k > e - 24; k--) {
+    float cell = std::ldexp(1.0f, k);
+    float plane = std::ceil(lo / cell) * cell;
+    if (plane > lo && plane < hi) return plane;
+  }
+  return 0.5f * (lo + hi);
+}
+
+static void presplit_recurse(const Vec3* tri_poly_in, int n_in, uint32_t tri_id,
+                             int splits_left, std::vector<Fragment>& out) {
+  AABB box = poly_aabb(tri_poly_in, n_in);
+  Vec3 e = box.extent();
+  if (splits_left <= 0 || n_in < 3) {
+    Fragment f;
+    f.box = box;
+    f.centroid = box.center();
+    f.tri = tri_id;
+    out.push_back(f);
+    return;
+  }
+  int axis = 0;
+  if (e.y > e.x) axis = 1;
+  if (e.z > e[axis]) axis = 2;
+  float pos = octree_split_pos(box.mn[axis], box.mx[axis]);
+  Vec3 left[16], right[16];
+  int nl = clip_poly(tri_poly_in, n_in, axis, pos, true, left);
+  int nr = clip_poly(tri_poly_in, n_in, axis, pos, false, right);
+  if (nl < 3 || nr < 3) {
+    Fragment f;
+    f.box = box;
+    f.centroid = box.center();
+    f.tri = tri_id;
+    out.push_back(f);
+    return;
+  }
+  int half = splits_left / 2;
+  presplit_recurse(left, nl, tri_id, half, out);
+  presplit_recurse(right, nr, tri_id, splits_left - 1 - half, out);
+}
+
+static void make_fragments(const float* verts, const uint32_t* idx, uint32_t ntris,
+                           float split_factor, std::vector<Fragment>& frags) {
+  frags.clear();
+  frags.reserve(ntris);
+  if (split_factor <= 0.0f || ntris < 2) {
+    for (uint32_t t = 0; t < ntris; t++) {
+      Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
+      Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
+      Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
+      Fragment f;
+      f.box.grow(p0); f.box.grow(p1); f.box.grow(p2);
+      f.centroid = f.box.center();
+      f.tri = t;
+      frags.push_back(f);
+    }
+    return;
+  }
+  // Priority per triangle: importance of splitting = f(size, empty area)
+  // (ref: PreSplitting.cs:120-130 — cbrt(extent^2 * emptyArea)).
+  std::vector<float> priority(ntris);
+  double total = 0.0;
+  for (uint32_t t = 0; t < ntris; t++) {
+    Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
+    Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
+    Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
+    AABB b; b.grow(p0); b.grow(p1); b.grow(p2);
+    float box_area = 2.0f * b.half_area();
+    float tri_area = length(cross(p1 - p0, p2 - p0));  // 2x triangle area
+    float empty = std::max(box_area - tri_area, 0.0f);
+    Vec3 e = b.extent();
+    float ext = std::max(e.x, std::max(e.y, e.z));
+    float pr = std::cbrt(ext * ext * empty);
+    priority[t] = pr;
+    total += pr;
+  }
+  uint32_t budget = (uint32_t)(split_factor * (float)ntris);
+  for (uint32_t t = 0; t < ntris; t++) {
+    Vec3 poly[3] = {
+        Vec3(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]),
+        Vec3(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]),
+        Vec3(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2])};
+    int nsplits = total > 0 ? (int)std::floor((double)budget * priority[t] / total) : 0;
+    nsplits = std::min(nsplits, 12);  // cap fragment blowup per triangle
+    presplit_recurse(poly, 3, t, nsplits, frags);
+  }
+}
+
+// ---------------------------------------------------------------------------
+// SweepSAH builder over fragments with three per-axis sorted index arrays
+// (ref: BLAS.cs GetBuildData:128-157, Build:159-243, TrySplit:730-873).
+// ---------------------------------------------------------------------------
+
+struct Builder {
+  const std::vector<Fragment>& frags;
+  uint32_t max_leaf;
+  float trav_cost;   // SAH traversal cost relative to intersection cost 1
+  std::vector<BlasNode> nodes;
+  // Three axis-sorted fragment index arrays, partitioned in place during the
+  // recursion; axis_idx[0] doubles as the final leaf ordering.
+  std::vector<uint32_t> axis_idx[3];
+  std::vector<uint8_t> side;  // scratch: membership mask for stable partition
+  std::vector<float> rcost;   // scratch: suffix sweep costs
+  std::vector<uint32_t> scratch_idx;
+
+  Builder(const std::vector<Fragment>& f, uint32_t ml, float tc)
+      : frags(f), max_leaf(ml), trav_cost(tc) {}
+
+  void build() {
+    const uint32_t n = (uint32_t)frags.size();
+    side.resize(n);
+    rcost.resize(n + 1);
+    scratch_idx.resize(n);
+    // 3 axis-sorted index arrays by centroid.
+    for (int a = 0; a < 3; a++) {
+      axis_idx[a].resize(n);
+      for (uint32_t i = 0; i < n; i++) axis_idx[a][i] = i;
+      std::stable_sort(axis_idx[a].begin(), axis_idx[a].end(),
+                       [&](uint32_t x, uint32_t y) { return frags[x].centroid[a] < frags[y].centroid[a]; });
+    }
+    nodes.reserve(2 * n);
+    nodes.push_back(BlasNode{});
+    build_range(0, 0, n);
+  }
+
+  AABB range_box(uint32_t lo, uint32_t hi) const {
+    AABB b;
+    for (uint32_t i = lo; i < hi; i++) b.grow(frags[axis_idx[0][i]].box);
+    return b;
+  }
+
+  void set_node(uint32_t ni, const AABB& b, uint32_t lof, uint32_t cnt) {
+    BlasNode& nd = nodes[ni];
+    nd.mn[0] = b.mn.x; nd.mn[1] = b.mn.y; nd.mn[2] = b.mn.z;
+    nd.mx[0] = b.mx.x; nd.mx[1] = b.mx.y; nd.mx[2] = b.mx.z;
+    nd.left_or_first = lof;
+    nd.count = cnt;
+  }
+
+  // Full sweep over one axis: suffix pass accumulates right AABB half-areas,
+  // prefix pass evaluates SAH(i) = Al*i + Ar*(n-i) (ref: BLAS.cs:752-805).
+  bool sweep_axis(int axis, uint32_t lo, uint32_t hi, float parent_ha,
+                  float& best_cost, uint32_t& best_split, int& best_axis) {
+    const uint32_t n = hi - lo;
+    const std::vector<uint32_t>& ids = axis_idx[axis];
+    AABB right;
+    for (uint32_t i = n; i-- > 1;) {
+      right.grow(frags[ids[lo + i]].box);
+      rcost[i] = right.half_area() * (float)(n - i);
+      // Early out: even the cheapest possible left side cannot beat best.
+      if (rcost[i] >= best_cost) { /* keep sweeping; need full array */ }
+    }
+    AABB left;
+    bool improved = false;
+    for (uint32_t i = 1; i < n; i++) {
+      left.grow(frags[ids[lo + i - 1]].box);
+      float c = left.half_area() * (float)i + rcost[i];
+      if (c < best_cost) {
+        best_cost = c;
+        best_split = lo + i;
+        best_axis = axis;
+        improved = true;
+      }
+    }
+    (void)parent_ha;
+    return improved;
+  }
+
+  // Stable-partition the other two axis arrays to match the chosen split
+  // (ref: BLAS.cs stable partition of 3 axis arrays).
+  void partition_axes(int split_axis, uint32_t lo, uint32_t mid, uint32_t hi) {
+    const uint32_t n = hi - lo;
+    for (uint32_t i = lo; i < mid; i++) side[axis_idx[split_axis][i]] = 0;
+    for (uint32_t i = mid; i < hi; i++) side[axis_idx[split_axis][i]] = 1;
+    for (int a = 0; a < 3; a++) {
+      if (a == split_axis) continue;
+      std::vector<uint32_t>& ids = axis_idx[a];
+      uint32_t w0 = lo, w1 = 0;
+      for (uint32_t i = lo; i < hi; i++) {
+        uint32_t f = ids[i];
+        if (side[f] == 0) ids[w0++] = f;
+        else scratch_idx[w1++] = f;
+      }
+      std::memcpy(&ids[mid], scratch_idx.data(), w1 * sizeof(uint32_t));
+      (void)n;
+    }
+  }
+
+  void build_range(uint32_t node_index, uint32_t lo, uint32_t hi) {
+    const uint32_t n = hi - lo;
+    AABB box = range_box(lo, hi);
+    if (n <= 1) {
+      set_node(node_index, box, lo, n);
+      return;
+    }
+    float parent_ha = std::max(box.half_area(), 1e-30f);
+    float leaf_cost = (float)n;  // n intersection tests
+    float best_cost = 3.4e38f;
+    uint32_t best_split = 0;
+    int best_axis = -1;
+    for (int a = 0; a < 3; a++) sweep_axis(a, lo, hi, parent_ha, best_cost, best_split, best_axis);
+    // Normalized split cost: traversal + children SAH relative to parent.
+    float split_cost = trav_cost + best_cost / parent_ha;
+    if (best_axis < 0 || (n <= max_leaf && leaf_cost <= split_cost)) {
+      set_node(node_index, box, lo, n);
+      return;
+    }
+    if (best_axis < 0 || best_split <= lo || best_split >= hi) {
+      // degenerate (all centroids equal): median split
+      best_axis = 0;
+      best_split = lo + n / 2;
+    }
+    partition_axes(best_axis, lo, best_split, hi);
+    uint32_t left = (uint32_t)nodes.size();
+    nodes.push_back(BlasNode{});
+    nodes.push_back(BlasNode{});
+    set_node(node_index, box, left, 0);
+    // Larger child first keeps sibling pairs cache/stack friendly
+    // (ref: BLAS.cs larger-child-left swap).
+    build_range(left, lo, best_split);
+    build_range(left + 1, best_split, hi);
+  }
+};
+
+// ---------------------------------------------------------------------------
+// Handle exposed through the C ABI
+// ---------------------------------------------------------------------------
+struct BlasHandle {
+  std::vector<BlasNode> nodes;
+  std::vector<uint32_t> tri_indices;   // leaf slot -> original triangle id
+  std::vector<uint32_t> parents;       // per node (root -> 0xFFFFFFFF)
+  uint32_t max_depth = 0;
+  float sah_cost = 0.0f;
+  double build_ms = 0.0;
+};
+
+static void compute_parents_depth(BlasHandle* h) {
+  const uint32_t n = (uint32_t)h->nodes.size();
+  h->parents.assign(n, 0xFFFFFFFFu);
+  h->max_depth = 0;
+  std::vector<std::pair<uint32_t, uint32_t>> stack;
+  stack.push_back({0, 1});
+  while (!stack.empty()) {
+    auto [ni, depth] = stack.back();
+    stack.pop_back();
+    h->max_depth = std::max(h->max_depth, depth);
+    const BlasNode& nd = h->nodes[ni];
+    if (nd.count == 0) {
+      h->parents[nd.left_or_first] = ni;
+      h->parents[nd.left_or_first + 1] = ni;
+      stack.push_back({nd.left_or_first, depth + 1});
+      stack.push_back({nd.left_or_first + 1, depth + 1});
+    }
+  }
+}
+
+// Global SAH cost of the finished tree (ref: BLAS.cs ComputeGlobalSAH:629-657):
+// sum over interior nodes of traversal cost * relative area + sum over leaves
+// of (#tris) * relative area, normalized by root area.
+static float compute_sah(const std::vector<BlasNode>& nodes, float trav_cost) {
+  auto ha = [&](const BlasNode& n) {
+    Vec3 e(n.mx[0] - n.mn[0], n.mx[1] - n.mn[1], n.mx[2] - n.mn[2]);
+    if (e.x < 0) return 0.0f;
+    return e.x * (e.y + e.z) + e.y * e.z;
+  };
+  float root_area = std::max(ha(nodes[0]), 1e-30f);
+  double cost = 0.0;
+  for (const BlasNode& n : nodes) {
+    float a = ha(n) / root_area;
+    cost += (n.count == 0) ? trav_cost * a : (double)n.count * a;
+  }
+  return (float)cost;
+}
+
+}  // namespace
+
+extern "C" {
+
+struct BlasView {
+  const BlasNode* nodes;
+  uint32_t node_count;
+  const uint32_t* tri_indices;
+  uint32_t tri_index_count;
+  const uint32_t* parents;
+  uint32_t max_depth;
+  float sah_cost;
+  double build_ms;
+};
+
+void* blas_build(const float* verts, uint32_t nverts, const uint32_t* idx,
+                 uint32_t ntris, uint32_t max_leaf, float trav_cost,
+                 float presplit_factor) {
+  (void)nverts;
+  auto t0 = std::chrono::steady_clock::now();
+  auto* h = new BlasHandle();
+  std::vector<Fragment> frags;
+  make_fragments(verts, idx, ntris, presplit_factor, frags);
+  if (frags.empty()) {
+    // Empty tree: single inverted-AABB node. count==0 normally means
+    // "interior", so traversal must (and does) reject the root via the
+    // always-failing AABB test before ever dereferencing children.
+    BlasNode root{};
+    root.mn[0] = root.mn[1] = root.mn[2] = 1e30f;
+    root.mx[0] = root.mx[1] = root.mx[2] = -1e30f;
+    h->nodes.push_back(root);
+    h->parents.assign(1, 0xFFFFFFFFu);
+    h->max_depth = 1;
+    return h;
+  }
+  Builder b(frags, std::max(max_leaf, 1u), trav_cost);
+  b.build();
+  h->nodes = std::move(b.nodes);
+  // De-duplicate shared fragments inside each leaf (pre-split triangles may
+  // produce several fragments landing in the same leaf;
+  // ref: PreSplitting.cs leaf dedup :162-273).
+  h->tri_indices.reserve(frags.size());
+  for (BlasNode& nd : h->nodes) {
+    if (nd.count == 0) continue;
+    uint32_t first = (uint32_t)h->tri_indices.size();
+    uint32_t lo = nd.left_or_first, hi = lo + nd.count;
+    for (uint32_t i = lo; i < hi; i++) {
+      uint32_t tri = frags[b.axis_idx[0][i]].tri;
+      bool dup = false;
+      for (uint32_t j = first; j < (uint32_t)h->tri_indices.size(); j++)
+        if (h->tri_indices[j] == tri) { dup = true; break; }
+      if (!dup) h->tri_indices.push_back(tri);
+    }
+    nd.left_or_first = first;
+    nd.count = (uint32_t)h->tri_indices.size() - first;
+  }
+  compute_parents_depth(h);
+  h->sah_cost = compute_sah(h->nodes, trav_cost);
+  h->build_ms = std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - t0).count();
+  return h;
+}
+
+void blas_view(void* handle, BlasView* out) {
+  auto* h = (BlasHandle*)handle;
+  out->nodes = h->nodes.data();
+  out->node_count = (uint32_t)h->nodes.size();
+  out->tri_indices = h->tri_indices.data();
+  out->tri_index_count = (uint32_t)h->tri_indices.size();
+  out->parents = h->parents.data();
+  out->max_depth = h->max_depth;
+  out->sah_cost = h->sah_cost;
+  out->build_ms = h->build_ms;
+}
+
+void blas_destroy(void* handle) { delete (BlasHandle*)handle; }
+
+// Bottom-up refit after vertex animation (ref: BLAS.cs Refit:276-293).
+// Iterates nodes in reverse index order — children always have larger
+// indices than parents under our allocation scheme.
+void blas_refit(void* handle, const float* verts, const uint32_t* idx) {
+  auto* h = (BlasHandle*)handle;
+  if (h->nodes.size() == 1 && h->nodes[0].count == 0) return;  // empty tree
+  for (uint32_t i = (uint32_t)h->nodes.size(); i-- > 0;) {
+    BlasNode& nd = h->nodes[i];
+    AABB b;
+    if (nd.count > 0) {
+      for (uint32_t s = nd.left_or_first; s < nd.left_or_first + nd.count; s++) {
+        uint32_t t = h->tri_indices[s];
+        for (int v = 0; v < 3; v++) {
+          uint32_t vi = idx[3 * t + v];
+          b.grow(Vec3(verts[3 * vi], verts[3 * vi + 1], verts[3 * vi + 2]));
+        }
+      }
+    } else {
+      const BlasNode& l = h->nodes[nd.left_or_first];
+      const BlasNode& r = h->nodes[nd.left_or_first + 1];
+      b.grow(Vec3(l.mn[0], l.mn[1], l.mn[2])); b.grow(Vec3(l.mx[0], l.mx[1], l.mx[2]));
+      b.grow(Vec3(r.mn[0], r.mn[1], r.mn[2])); b.grow(Vec3(r.mx[0], r.mx[1], r.mx[2]));
+    }
+    nd.mn[0] = b.mn.x; nd.mn[1] = b.mn.y; nd.mn[2] = b.mn.z;
+    nd.mx[0] = b.mx.x; nd.mx[1] = b.mx.y; nd.mx[2] = b.mx.z;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// CPU traversal (ref: BLAS.cs:313-439) — collision/picking path.
+// ---------------------------------------------------------------------------
+
+static inline bool ray_box(Vec3 o, Vec3 inv_d, Vec3 mn, Vec3 mx, float tmax, float& tnear) {
+  float t0 = (mn.x - o.x) * inv_d.x, t1 = (mx.x - o.x) * inv_d.x;
+  float tmin_ = std::min(t0, t1), tmax_ = std::max(t0, t1);
+  t0 = (mn.y - o.y) * inv_d.y; t1 = (mx.y - o.y) * inv_d.y;
+  tmin_ = std::max(tmin_, std::min(t0, t1)); tmax_ = std::min(tmax_, std::max(t0, t1));
+  t0 = (mn.z - o.z) * inv_d.z; t1 = (mx.z - o.z) * inv_d.z;
+  tmin_ = std::max(tmin_, std::min(t0, t1)); tmax_ = std::min(tmax_, std::max(t0, t1));
+  tnear = std::max(tmin_, 0.0f);
+  return tmax_ >= tnear && tnear <= tmax;
+}
+
+// Möller–Trumbore (ref: IntersectionRoutines.glsl RayVsTriangle).
+static inline bool ray_tri(Vec3 o, Vec3 d, Vec3 p0, Vec3 p1, Vec3 p2,
+                           float& t, float& u, float& v) {
+  Vec3 e1 = p1 - p0, e2 = p2 - p0;
+  Vec3 p = cross(d, e2);
+  float det = dot(e1, p);
+  if (std::fabs(det) < 1e-12f) return false;
+  float inv = 1.0f / det;
+  Vec3 s = o - p0;
+  u = dot(s, p) * inv;
+  if (u < 0.0f || u > 1.0f) return false;
+  Vec3 q = cross(s, e1);
+  v = dot(d, q) * inv;
+  if (v < 0.0f || u + v > 1.0f) return false;
+  t = dot(e2, q) * inv;
+  return t > 0.0f;
+}
+
+int blas_intersect_ray(void* handle, const float* verts, const uint32_t* idx,
+                       const float* origin, const float* dir, float tmax,
+                       float* out_t, float* out_u, float* out_v, uint32_t* out_tri) {
+  auto* h = (BlasHandle*)handle;
+  if (h->nodes.empty() || (h->nodes.size() == 1 && h->nodes[0].count == 0)) return 0;
+  Vec3 o(origin[0], origin[1], origin[2]), d(dir[0], dir[1], dir[2]);
+  Vec3 inv_d(1.0f / d.x, 1.0f / d.y, 1.0f / d.z);
+  float best_t = tmax, bu = 0, bv = 0;
+  uint32_t best_tri = 0xFFFFFFFFu;
+  uint32_t stack[64];
+  int sp = 0;
+  float tn;
+  if (!ray_box(o, inv_d, Vec3(h->nodes[0].mn[0], h->nodes[0].mn[1], h->nodes[0].mn[2]),
+               Vec3(h->nodes[0].mx[0], h->nodes[0].mx[1], h->nodes[0].mx[2]), best_t, tn))
+    return 0;
+  stack[sp++] = 0;
+  while (sp > 0) {
+    const BlasNode& nd = h->nodes[stack[--sp]];
+    if (nd.count > 0) {
+      for (uint32_t s = nd.left_or_first; s < nd.left_or_first + nd.count; s++) {
+        uint32_t tri = h->tri_indices[s];
+        Vec3 p0(verts[3 * idx[3 * tri]], verts[3 * idx[3 * tri] + 1], verts[3 * idx[3 * tri] + 2]);
+        Vec3 p1(verts[3 * idx[3 * tri + 1]], verts[3 * idx[3 * tri + 1] + 1], verts[3 * idx[3 * tri + 1] + 2]);
+        Vec3 p2(verts[3 * idx[3 * tri + 2]], verts[3 * idx[3 * tri + 2] + 1], verts[3 * idx[3 * tri + 2] + 2]);
+        float t, u, v;
+        if (ray_tri(o, d, p0, p1, p2, t, u, v) && t < best_t) {
+          best_t = t; bu = u; bv = v; best_tri = tri;
+        }
+      }
+    } else {
+      // closest-first ordered descent (ref: BLAS.cs:313-386)
+      uint32_t li = nd.left_or_first, ri = li + 1;
+      float tl, tr;
+      bool hl = ray_box(o, inv_d, Vec3(h->nodes[li].mn[0], h->nodes[li].mn[1], h->nodes[li].mn[2]),
+                        Vec3(h->nodes[li].mx[0], h->nodes[li].mx[1], h->nodes[li].mx[2]), best_t, tl);
+      bool hr = ray_box(o, inv_d, Vec3(h->nodes[ri].mn[0], h->nodes[ri].mn[1], h->nodes[ri].mn[2]),
+                        Vec3(h->nodes[ri].mx[0], h->nodes[ri].mx[1], h->nodes[ri].mx[2]), best_t, tr);
+      if (hl && hr) {
+        if (tl > tr) { std::swap(li, ri); }
+        stack[sp++] = ri;  // far pushed first
+        stack[sp++] = li;
+      } else if (hl) {
+        stack[sp++] = li;
+      } else if (hr) {
+        stack[sp++] = ri;
+      }
+    }
+  }
+  if (best_tri == 0xFFFFFFFFu) return 0;
+  *out_t = best_t; *out_u = bu; *out_v = bv; *out_tri = best_tri;
+  return 1;
+}
+
+// Box query: writes unique triangle ids whose leaf AABB overlaps the box
+// (ref: BLAS.cs Intersect(box):388-439). Returns count (clamped to cap).
+uint32_t blas_intersect_box(void* handle, const float* bmin, const float* bmax,
+                            uint32_t* out_tris, uint32_t cap) {
+  auto* h = (BlasHandle*)handle;
+  if (h->nodes.empty() || (h->nodes.size() == 1 && h->nodes[0].count == 0)) return 0;
+  Vec3 qmn(bmin[0], bmin[1], bmin[2]), qmx(bmax[0], bmax[1], bmax[2]);
+  uint32_t stack[64];
+  int sp = 0;
+  uint32_t count = 0;
+  auto overlaps = [&](const BlasNode& n) {
+    return n.mn[0] <= qmx.x && n.mx[0] >= qmn.x && n.mn[1] <= qmx.y &&
+           n.mx[1] >= qmn.y && n.mn[2] <= qmx.z && n.mx[2] >= qmn.z;
+  };
+  if (!overlaps(h->nodes[0])) return 0;
+  stack[sp++] = 0;
+  while (sp > 0) {
+    const BlasNode& nd = h->nodes[stack[--sp]];
+    if (nd.count > 0) {
+      for (uint32_t s = nd.left_or_first; s < nd.left_or_first + nd.count && count < cap; s++)
+        out_tris[count++] = h->tri_indices[s];
+    } else {
+      if (overlaps(h->nodes[nd.left_or_first])) stack[sp++] = nd.left_or_first;
+      if (overlaps(h->nodes[nd.left_or_first + 1])) stack[sp++] = nd.left_or_first + 1;
+    }
+  }
+  return count;
+}
+
+// ---------------------------------------------------------------------------
+// TLAS: PLOC (Parallel Locally-Ordered Clustering) over instance AABBs
+// sorted by Morton code, search radius R (ref: Source/Bvh/TLAS.cs:52-140).
+// Output uses the same BlasNode layout; leaves store the instance id in
+// left_or_first with count = 1.
+// ---------------------------------------------------------------------------
+
+static uint32_t expand_bits10(uint32_t v) {
+  v &= 0x3FF;
+  v = (v | (v << 16)) & 0x030000FF;
+  v = (v | (v << 8)) & 0x0300F00F;
+  v = (v | (v << 4)) & 0x030C30C3;
+  v = (v | (v << 2)) & 0x09249249;
+  return v;
+}
+
+void* tlas_build(const float* aabbs /* n*6: min3,max3 */, uint32_t n, uint32_t radius) {
+  auto* h = new BlasHandle();
+  if (n == 0) {
+    h->nodes.push_back(BlasNode{});
+    compute_parents_depth(h);
+    return h;
+  }
+  struct Cluster { AABB box; uint32_t node; };
+  // Scene bounds for Morton normalization
+  AABB scene;
+  std::vector<AABB> boxes(n);
+  for (uint32_t i = 0; i < n; i++) {
+    boxes[i].mn = Vec3(aabbs[6 * i], aabbs[6 * i + 1], aabbs[6 * i + 2]);
+    boxes[i].mx = Vec3(aabbs[6 * i + 3], aabbs[6 * i + 4], aabbs[6 * i + 5]);
+    scene.grow(boxes[i]);
+  }
+  Vec3 ext = scene.extent();
+  Vec3 inv(ext.x > 0 ? 1.0f / ext.x : 0, ext.y > 0 ? 1.0f / ext.y : 0, ext.z > 0 ? 1.0f / ext.z : 0);
+  std::vector<std::pair<uint32_t, uint32_t>> morton(n);  // (code, instance)
+  for (uint32_t i = 0; i < n; i++) {
+    Vec3 c = (boxes[i].center() - scene.mn) * inv;
+    uint32_t qx = (uint32_t)std::min(std::max(c.x * 1024.0f, 0.0f), 1023.0f);
+    uint32_t qy = (uint32_t)std::min(std::max(c.y * 1024.0f, 0.0f), 1023.0f);
+    uint32_t qz = (uint32_t)std::min(std::max(c.z * 1024.0f, 0.0f), 1023.0f);
+    morton[i] = {(expand_bits10(qx) << 2) | (expand_bits10(qy) << 1) | expand_bits10(qz), i};
+  }
+  std::stable_sort(morton.begin(), morton.end());
+  // The finished tree has 2n-1 nodes (ref: TLAS.cs AllocateRequiredNodes),
+  // but merge rounds may re-house non-adjacent sibling pairs, so build into
+  // a generous scratch pool and BFS-repack into the final layout at the end.
+  uint32_t total = 6 * n + 2;
+  h->nodes.resize(total);
+  uint32_t next_free = total;  // allocate downward in sibling pairs
+  std::vector<Cluster> cur(n), nxt;
+  for (uint32_t i = 0; i < n; i++) {
+    uint32_t inst = morton[i].second;
+    uint32_t ni = --next_free;
+    BlasNode nd{};
+    nd.mn[0] = boxes[inst].mn.x; nd.mn[1] = boxes[inst].mn.y; nd.mn[2] = boxes[inst].mn.z;
+    nd.mx[0] = boxes[inst].mx.x; nd.mx[1] = boxes[inst].mx.y; nd.mx[2] = boxes[inst].mx.z;
+    nd.left_or_first = inst;
+    nd.count = 1;
+    h->nodes[ni] = nd;
+    cur[i] = {boxes[inst], ni};
+  }
+  // PLOC merge rounds
+  while (cur.size() > 1) {
+    uint32_t m = (uint32_t)cur.size();
+    std::vector<uint32_t> best(m);
+    for (uint32_t i = 0; i < m; i++) {
+      float best_cost = 3.4e38f;
+      uint32_t bj = i == 0 ? 1 : i - 1;
+      uint32_t lo = i > radius ? i - radius : 0;
+      uint32_t hi = std::min(i + radius + 1, m);
+      for (uint32_t j = lo; j < hi; j++) {
+        if (j == i) continue;
+        AABB u = cur[i].box; u.grow(cur[j].box);
+        float c = u.half_area();
+        if (c < best_cost) { best_cost = c; bj = j; }
+      }
+      best[i] = bj;
+    }
+    nxt.clear();
+    std::vector<uint8_t> merged(m, 0);
+    for (uint32_t i = 0; i < m; i++) {
+      if (merged[i]) continue;
+      uint32_t j = best[i];
+      if (best[j] == i && !merged[j]) {
+        // mutual best match: merge. Children must be a contiguous pair —
+        // re-house them if not adjacent.
+        merged[i] = merged[j] = 1;
+        uint32_t a = cur[i].node, b = cur[j].node;
+        if (b != a + 1) {
+          // allocate fresh adjacent pair, move nodes (subtrees keep indices;
+          // only these two roots move, fine because children pointers inside
+          // them are absolute).
+          next_free -= 2;
+          h->nodes[next_free] = h->nodes[a];
+          h->nodes[next_free + 1] = h->nodes[b];
+          a = next_free;
+          b = next_free + 1;
+        }
+        AABB u = cur[i].box; u.grow(cur[j].box);
+        next_free -= 1;
+        uint32_t pi = next_free;
+        BlasNode nd{};
+        nd.mn[0] = u.mn.x; nd.mn[1] = u.mn.y; nd.mn[2] = u.mn.z;
+        nd.mx[0] = u.mx.x; nd.mx[1] = u.mx.y; nd.mx[2] = u.mx.z;
+        nd.left_or_first = a;
+        nd.count = 0;
+        h->nodes[pi] = nd;
+        nxt.push_back({u, pi});
+      } else {
+        nxt.push_back(cur[i]);
+        merged[i] = 1;
+      }
+    }
+    cur.swap(nxt);
+  }
+  // BFS-repack into a dense tree rooted at index 0 with contiguous child
+  // pairs (the device-flattening layout contract).
+  {
+    uint32_t root = cur[0].node;
+    std::vector<BlasNode> packed;
+    packed.reserve(2 * n - 1);
+    packed.push_back(h->nodes[root]);
+    for (uint32_t k = 0; k < (uint32_t)packed.size(); k++) {
+      if (packed[k].count == 0) {
+        uint32_t l = packed[k].left_or_first;
+        uint32_t nl = (uint32_t)packed.size();
+        packed.push_back(h->nodes[l]);
+        packed.push_back(h->nodes[l + 1]);
+        packed[k].left_or_first = nl;
+      }
+    }
+    h->nodes = std::move(packed);
+  }
+  compute_parents_depth(h);
+  h->sah_cost = compute_sah(h->nodes, 1.0f);
+  return h;
+}
+
+// ---------------------------------------------------------------------------
+// Collision: closest point on triangle + moving-sphere-vs-triangle-set
+// sliding response (ref: Source/Shapes/Intersections.cs:38-94, 492-594).
+// The scene-level sub-stepping loop lives in Python (idkengine_tpu.collision)
+// and calls these per-instance primitives.
+// ---------------------------------------------------------------------------
+
+static Vec3 tri_closest_point(Vec3 p, Vec3 a, Vec3 b, Vec3 c) {
+  Vec3 ab = b - a, ac = c - a, ap = p - a;
+  float d1 = dot(ab, ap), d2 = dot(ac, ap);
+  if (d1 <= 0 && d2 <= 0) return a;
+  Vec3 bp = p - b;
+  float d3 = dot(ab, bp), d4 = dot(ac, bp);
+  if (d3 >= 0 && d4 <= d3) return b;
+  float vc = d1 * d4 - d3 * d2;
+  if (vc <= 0 && d1 >= 0 && d3 <= 0) return a + ab * (d1 / (d1 - d3));
+  Vec3 cp = p - c;
+  float d5 = dot(ab, cp), d6 = dot(ac, cp);
+  if (d6 >= 0 && d5 <= d6) return c;
+  float vb = d5 * d2 - d1 * d6;
+  if (vb <= 0 && d2 >= 0 && d6 <= 0) return a + ac * (d2 / (d2 - d6));
+  float va = d3 * d6 - d5 * d4;
+  if (va <= 0 && (d4 - d3) >= 0 && (d5 - d6) >= 0)
+    return b + (c - b) * ((d4 - d3) / ((d4 - d3) + (d5 - d6)));
+  float denom = 1.0f / (va + vb + vc);
+  return a + ab * (vb * denom) + ac * (vc * denom);
+}
+
+// For each candidate triangle, find the closest point to `center` within
+// `radius`; returns index of deepest penetration or -1.
+int sphere_vs_triangles(const float* verts, const uint32_t* idx,
+                        const uint32_t* tris, uint32_t ntris,
+                        const float* center, float radius,
+                        float* out_closest, float* out_dist) {
+  Vec3 c(center[0], center[1], center[2]);
+  float best = radius;
+  int best_i = -1;
+  Vec3 best_p;
+  for (uint32_t i = 0; i < ntris; i++) {
+    uint32_t t = tris[i];
+    Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
+    Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
+    Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
+    Vec3 q = tri_closest_point(c, p0, p1, p2);
+    float d = length(q - c);
+    if (d < best) { best = d; best_i = (int)i; best_p = q; }
+  }
+  if (best_i >= 0) {
+    out_closest[0] = best_p.x; out_closest[1] = best_p.y; out_closest[2] = best_p.z;
+    *out_dist = best;
+  }
+  return best_i;
+}
+
+}  // extern "C"

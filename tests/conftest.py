@@ -1,0 +1,13 @@
+"""Test config: force JAX onto a virtual 8-device CPU platform.
+
+Real-TPU benchmarking happens in bench.py; tests are deterministic CPU runs
+and exercise the multi-chip sharding path on a virtual mesh
+(xla_force_host_platform_device_count=8).
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
