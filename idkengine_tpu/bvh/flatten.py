@@ -1,0 +1,165 @@
+"""Flatten a built BVH + scene geometry into SoA device arrays.
+
+TPU-first design decision: the device traversal uses a *threaded* BVH —
+nodes in DFS order with precomputed hit (descend) and miss (skip) links —
+so per-ray traversal state is a single int32 pointer. No per-ray stacks,
+no scatter ops, no divergence-driven memory traffic: each while_loop step
+is pure gathers + vector math. This replaces the reference's shared-memory
+traversal stacks (ref: Resource/Shaders/include/BVHIntersect.glsl:18-22),
+which have no efficient TPU analogue.
+
+Triangles are de-indexed into leaf-slot order: leaf [first, first+count)
+ranges directly index the triangle SoA arrays (the reference keeps
+leaf-contiguous geometry for the same reason, ref: BLAS.cs:12-22).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..utils import compression as comp
+
+
+@dataclass
+class FlatBvh:
+    """Threaded-BVH arrays (numpy; device upload happens in render layer)."""
+
+    node_min: np.ndarray  # (N,3) f32
+    node_max: np.ndarray  # (N,3) f32
+    node_first: np.ndarray  # (N,) i32 — leaf: first tri slot; interior: unused(-1)
+    node_count: np.ndarray  # (N,) i32 — 0 for interior
+    hit_link: np.ndarray  # (N,) i32 — next node when box hit & interior (DFS child)
+    miss_link: np.ndarray  # (N,) i32 — next node when box missed / after leaf (-1 = done)
+
+
+def thread_bvh(nodes: np.ndarray) -> tuple[FlatBvh, np.ndarray]:
+    """Convert builder nodes (structured NODE_DTYPE, root=0, children l/l+1)
+    into DFS-ordered threaded arrays.
+
+    Returns (FlatBvh, slot_perm) where slot_perm maps new leaf-slot order to
+    the builder's tri_indices order (identity if leaves already DFS-ordered).
+    """
+    n = nodes.shape[0]
+    # DFS order visiting left (larger) child first — matches build layout.
+    order = np.empty(n, dtype=np.int64)
+    dfs_index = np.empty(n, dtype=np.int64)
+    pos = 0
+    # iterative DFS; also record each node's "next" (miss) target by
+    # tracking, for every node, the subtree-end: nodes are re-numbered in
+    # DFS order so a subtree occupies a contiguous index range, and the miss
+    # link of node i is simply one-past its subtree end.
+    stack = [0]
+    while stack:
+        ni = stack.pop()
+        order[pos] = ni
+        dfs_index[ni] = pos
+        pos += 1
+        if nodes["count"][ni] == 0:
+            l = int(nodes["left_or_first"][ni])
+            stack.append(l + 1)
+            stack.append(l)
+    assert pos == n
+
+    subtree_end = np.empty(n, dtype=np.int64)  # in DFS numbering, exclusive
+
+    # compute subtree sizes bottom-up over DFS order (children come after
+    # parents and a parent's range ends where its right child's ends)
+    for i in range(n - 1, -1, -1):
+        ni = order[i]
+        if nodes["count"][ni] > 0:
+            subtree_end[i] = i + 1
+        else:
+            l = int(nodes["left_or_first"][ni])
+            subtree_end[i] = subtree_end[dfs_index[l + 1]]
+
+    node_min = np.ascontiguousarray(nodes["min"][order], np.float32)
+    node_max = np.ascontiguousarray(nodes["max"][order], np.float32)
+    counts = nodes["count"][order].astype(np.int32)
+    first_raw = nodes["left_or_first"][order].astype(np.int64)
+
+    hit_link = np.arange(1, n + 1, dtype=np.int32)  # DFS: descend = next node
+    miss_link = subtree_end.astype(np.int32)
+    miss_link[miss_link == n] = -1
+    hit_link[counts > 0] = miss_link[counts > 0]  # leaves: fall through
+
+    # re-pack leaf tri slots into DFS leaf order
+    leaf_mask = counts > 0
+    new_first = np.full(n, -1, dtype=np.int32)
+    slot_perm_parts = []
+    cursor = 0
+    for i in np.nonzero(leaf_mask)[0]:
+        c = int(counts[i])
+        new_first[i] = cursor
+        slot_perm_parts.append(np.arange(first_raw[i], first_raw[i] + c, dtype=np.int64))
+        cursor += c
+    slot_perm = (
+        np.concatenate(slot_perm_parts) if slot_perm_parts else np.empty(0, np.int64)
+    )
+
+    return (
+        FlatBvh(
+            node_min=node_min,
+            node_max=node_max,
+            node_first=new_first,
+            node_count=counts,
+            hit_link=hit_link,
+            miss_link=miss_link,
+        ),
+        slot_perm,
+    )
+
+
+@dataclass
+class FlatTriangles:
+    """Per-leaf-slot triangle SoA: geometry + shading attributes.
+
+    p0/e1/e2 precomputed for Möller–Trumbore; normals/uvs per corner;
+    material id per triangle. Normals packed octahedral-snorm16 (u32) to
+    halve HBM traffic (ref: Compression.glsl octahedral path)."""
+
+    p0: np.ndarray  # (T,3) f32
+    e1: np.ndarray  # (T,3) f32
+    e2: np.ndarray  # (T,3) f32
+    n_packed: np.ndarray  # (T,3) u32 octahedral per corner
+    uv: np.ndarray  # (T,3,2) f32
+    mat: np.ndarray  # (T,) i32
+    geom_normal: np.ndarray  # (T,3) u32-free f32 — face normal (unit)
+
+
+def flatten_triangles(
+    slot_tri_ids: np.ndarray,
+    vertices: np.ndarray,
+    indices: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray | None,
+    tri_material: np.ndarray,
+) -> FlatTriangles:
+    """Gather per-slot triangle data (slot_tri_ids maps slot -> original tri)."""
+    tids = slot_tri_ids.astype(np.int64)
+    tri_v = indices[tids]  # (T,3)
+    p = vertices[tri_v]  # (T,3,3)
+    p0 = p[:, 0]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    nrm = normals[tri_v]  # (T,3,3)
+    n_packed = np.stack(
+        [comp.compress_normal(nrm[:, k]) for k in range(3)], axis=1
+    ).astype(np.uint32)
+    gn = np.cross(e1, e2)
+    gl = np.linalg.norm(gn, axis=-1, keepdims=True)
+    gn = gn / np.maximum(gl, 1e-20)
+    uv = (
+        uvs[tri_v].astype(np.float32)
+        if uvs is not None
+        else np.zeros((tids.shape[0], 3, 2), np.float32)
+    )
+    return FlatTriangles(
+        p0=p0.astype(np.float32),
+        e1=e1.astype(np.float32),
+        e2=e2.astype(np.float32),
+        n_packed=n_packed,
+        uv=uv,
+        mat=tri_material[tids].astype(np.int32),
+        geom_normal=gn.astype(np.float32),
+    )

@@ -1,0 +1,359 @@
+"""Wavefront path tracer over the ray megabatch.
+
+The TPU re-design of the reference's wavefront PT
+(ref: Source/Render/PathTracer.cs + Resource/Shaders/PathTracing/**):
+
+  - FirstHit/NHit GPU passes with atomic compaction + indirect dispatch
+    become a FIXED-SHAPE megabatch: every pixel's ray lives at a fixed slot,
+    dead rays carry t_max<0 so traversal exits in one step. No atomics, no
+    indirect dispatch — XLA-friendly static shapes (SURVEY.md §5 long-context
+    analogue).
+  - Counting-sort ray reordering (ref: PathTracing/CountingSort/**) becomes
+    an argsort by hit-slot key + tiled traversal: sorted rays are processed
+    in coherent tiles so each tile's while_loop terminates at its own local
+    depth instead of the global worst case.
+  - Accumulation/reset semantics mirror PathTracer.cs:12-140.
+
+The whole sample (raygen → N bounces → accumulate) is one jit.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.intersect import ray_sphere
+from ..ops.trace import SceneArrays, trace_any, trace_closest
+from ..utils import rng
+from ..utils.compression import decompress_normal
+from . import sampling, shading
+from .camera import Camera, generate_rays
+
+
+@dataclass(frozen=True)
+class PathTracerSettings:
+    """ref: PathTracer.cs settings block (:12-140)."""
+
+    ray_depth: int = 5
+    spp_per_frame: int = 1
+    russian_roulette: bool = True
+    rr_min_bounce: int = 2
+    nee: bool = True  # next-event estimation toward sphere lights
+    do_ray_sorting: bool = False
+    tile_size: int = 0  # 0 = whole batch in one traversal
+    light_spheres: bool = True
+    sky_zenith: tuple = (0.45, 0.65, 1.0)
+    sky_horizon: tuple = (0.9, 0.9, 0.95)
+    sky_strength: float = 1.0
+    use_env_map: bool = False
+    max_trace_steps: int = 1 << 30
+
+
+def _sky(d, settings: PathTracerSettings, env_map):
+    if settings.use_env_map and env_map is not None:
+        h, w = env_map.shape[0], env_map.shape[1]
+        theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
+        phi = jnp.arctan2(d[..., 2], d[..., 0])
+        x = jnp.clip(((phi / (2 * jnp.pi) + 0.5) * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
+        return env_map[y, x] * settings.sky_strength
+    t = jnp.clip(d[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
+    zen = jnp.asarray(settings.sky_zenith, jnp.float32)
+    hor = jnp.asarray(settings.sky_horizon, jnp.float32)
+    return (hor * (1.0 - t) + zen * t) * settings.sky_strength
+
+
+def _sample_atlas(atlas, layer, uv):
+    """Bilinear sample from the RGBA8 atlas. layer (R,), uv (R,2). Returns
+    (R,4) float in [0,1]; layer<0 returns ones (factor-only materials)."""
+    size = atlas.shape[1]
+    l = jnp.maximum(layer, 0)
+    u = (uv[..., 0] % 1.0) * (size - 1)
+    v = (uv[..., 1] % 1.0) * (size - 1)
+    x0 = jnp.floor(u).astype(jnp.int32)
+    y0 = jnp.floor(v).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, size - 1)
+    y1 = jnp.minimum(y0 + 1, size - 1)
+    fx = (u - x0)[..., None]
+    fy = (v - y0)[..., None]
+    c00 = atlas[l, y0, x0].astype(jnp.float32)
+    c01 = atlas[l, y0, x1].astype(jnp.float32)
+    c10 = atlas[l, y1, x0].astype(jnp.float32)
+    c11 = atlas[l, y1, x1].astype(jnp.float32)
+    c = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+    c = c / 255.0
+    return jnp.where(layer[..., None] >= 0, c, jnp.ones_like(c))
+
+
+def _trace_maybe_tiled(scene, o, d, t_max, settings: PathTracerSettings, sort_key=None):
+    """Traversal with optional ray sorting + tiling (the reference's
+    counting-sort reorder re-expressed as argsort + coherent tiles)."""
+    r = o.shape[0]
+    tile = settings.tile_size
+    if settings.do_ray_sorting and sort_key is not None:
+        perm = jnp.argsort(sort_key)
+        inv = jnp.argsort(perm)
+        o, d, t_max = o[perm], d[perm], t_max[perm]
+    if tile and r > tile and r % tile == 0:
+        o_t = o.reshape(-1, tile, 3)
+        d_t = d.reshape(-1, tile, 3)
+        tm_t = t_max.reshape(-1, tile)
+        hit = jax.lax.map(
+            lambda args: trace_closest(scene, args[0], args[1], args[2],
+                                       max_steps=settings.max_trace_steps),
+            (o_t, d_t, tm_t),
+        )
+        hit = jax.tree_util.tree_map(lambda a: a.reshape(r, *a.shape[2:]), hit)
+    else:
+        hit = trace_closest(scene, o, d, t_max, max_steps=settings.max_trace_steps)
+    if settings.do_ray_sorting and sort_key is not None:
+        hit = jax.tree_util.tree_map(lambda a: a[inv], hit)
+    return hit
+
+
+class PathTracer:
+    """Owns device buffers + jitted sample step; accumulates frames.
+
+    Equivalent in role to PathTracer.cs + PathTracerPipeline.cs."""
+
+    def __init__(
+        self,
+        scene: SceneArrays,
+        materials: dict,
+        lights: dict,
+        width: int,
+        height: int,
+        settings: PathTracerSettings | None = None,
+        env_map: np.ndarray | None = None,
+    ):
+        self.scene = scene
+        self.mats = {k: jnp.asarray(v) for k, v in materials.items() if k != "count"}
+        self.lights = {k: jnp.asarray(v) for k, v in lights.items() if k != "count"}
+        self.n_lights = int(lights.get("count", 0))
+        self.width = width
+        self.height = height
+        self.settings = settings or PathTracerSettings()
+        self.env_map = None if env_map is None else jnp.asarray(env_map, jnp.float32)
+        self.accum = jnp.zeros((height * width, 3), jnp.float32)
+        self.accumulated_samples = 0
+        self._frame = 0
+        self._compiled = {}
+
+    # -- settings with reset semantics (ref: PathTracer.cs setters) -------
+    def set_settings(self, **kw):
+        self.settings = replace(self.settings, **kw)
+        self.reset_accumulation()
+
+    def reset_accumulation(self):
+        """ref: PathTracer ResetAccumulation on camera/scene change."""
+        self.accum = jnp.zeros_like(self.accum)
+        self.accumulated_samples = 0
+
+    # ----------------------------------------------------------------
+    def _render_sample(self, scene, mats, lights, env_map, cam_params, frame):
+        s = self.settings
+        w, h = self.width, self.height
+        r = w * h
+        pix = jnp.arange(r, dtype=jnp.uint32)
+        state = rng.init_state(pix, frame)
+
+        # subpixel jitter + thin lens
+        state, u_pix = rng.uniform2(state)
+        state, u_lens = rng.uniform2(state)
+        o, d = generate_rays(cam_params, w, h, u_pix, u_lens)
+
+        radiance = jnp.zeros((r, 3), jnp.float32)
+        throughput = jnp.ones((r, 3), jnp.float32)
+        alive = jnp.ones((r,), bool)
+        inside = jnp.zeros((r,), bool)
+        prev_slot = jnp.zeros((r,), jnp.int32)
+        # last bounce was delta-like (primary/specular/transmissive): BSDF
+        # light hits count only then, NEE covers the diffuse paths
+        last_delta = jnp.ones((r,), bool)
+
+        aov_albedo = jnp.zeros((r, 3), jnp.float32)
+        aov_normal = jnp.zeros((r, 3), jnp.float32)
+        aov_depth = jnp.zeros((r,), jnp.float32)
+        rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
+
+        for bounce in range(s.ray_depth):
+            rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
+            t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
+            sort_key = prev_slot if bounce > 0 else None
+            hit = _trace_maybe_tiled(scene, o, d, t_max, s, sort_key)
+
+            # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
+            # lights before the BLAS)
+            light_t = jnp.full((r,), 3.4e38, jnp.float32)
+            light_id = jnp.full((r,), -1, jnp.int32)
+            if s.light_spheres and self.n_lights > 0:
+                for li in range(self.n_lights):
+                    lh, lt = ray_sphere(o, d, lights["pos"][li], lights["radius"][li])
+                    closer = lh & (lt < light_t)
+                    light_t = jnp.where(closer, lt, light_t)
+                    light_id = jnp.where(closer, li, light_id)
+
+            hit_tri = alive & (hit.slot >= 0) & (hit.t < light_t)
+            hit_light = alive & (light_id >= 0) & ~hit_tri
+            miss = alive & ~hit_tri & ~hit_light
+
+            # -- miss: sky
+            radiance = radiance + jnp.where(
+                miss[..., None], throughput * _sky(d, s, env_map), 0.0
+            )
+            # -- light hit: add emitted radiance, terminate. With NEE on,
+            # only delta-ish paths collect BSDF light hits (NEE owns the
+            # diffuse direct term).
+            if s.light_spheres and self.n_lights > 0:
+                l_emit = lights["radiance"][jnp.maximum(light_id, 0)]
+                count_hit = hit_light & (last_delta | (not s.nee))
+                radiance = radiance + jnp.where(count_hit[..., None], throughput * l_emit, 0.0)
+
+            # -- surface hit: shade
+            slot = jnp.maximum(hit.slot, 0)
+            u_b, v_b = hit.u, hit.v
+            w_b = 1.0 - u_b - v_b
+            n0 = decompress_normal(scene.tri_n[slot, 0], jnp)
+            n1 = decompress_normal(scene.tri_n[slot, 1], jnp)
+            n2 = decompress_normal(scene.tri_n[slot, 2], jnp)
+            ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
+            ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
+            gn = scene.tri_gn[slot]
+            # face-forward against incoming ray
+            flip = jnp.sum(gn * d, axis=-1) > 0.0
+            gn = jnp.where(flip[..., None], -gn, gn)
+            ns = jnp.where(jnp.sum(ns * gn, axis=-1, keepdims=True) < 0.0, -ns, ns)
+
+            uv = (
+                scene.tri_uv[slot, 0] * w_b[..., None]
+                + scene.tri_uv[slot, 1] * u_b[..., None]
+                + scene.tri_uv[slot, 2] * v_b[..., None]
+            )
+            mat_id = scene.tri_mat[slot]
+            base = mats["base_color"][mat_id]
+            tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
+            albedo = base[..., :3] * tex[..., :3]
+            mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
+            metallic = mats["metallic"][mat_id] * mr_tex[..., 2]
+            roughness = mats["roughness"][mat_id] * mr_tex[..., 1]
+            emissive = mats["emissive"][mat_id]
+            em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
+            emissive = emissive * em_tex[..., :3]
+            transmission = mats["transmission"][mat_id]
+            ior = mats["ior"][mat_id]
+            absorb = mats["absorbance"][mat_id]
+
+            if bounce == 0:
+                aov_albedo = jnp.where(hit_tri[..., None], albedo, aov_albedo)
+                aov_normal = jnp.where(hit_tri[..., None], ns, aov_normal)
+                aov_depth = jnp.where(hit_tri, hit.t, aov_depth)
+
+            # Beer–Lambert absorbance through the medium
+            # (ref: FirstHit/compute.glsl:179-183)
+            seg = jnp.minimum(hit.t, 1e30)
+            att = jnp.exp(-absorb * jnp.where(inside, seg, 0.0)[..., None])
+            throughput = jnp.where(hit_tri[..., None], throughput * att, throughput)
+
+            radiance = radiance + jnp.where(hit_tri[..., None], throughput * emissive, 0.0)
+
+            hp_point = o + d * hit.t[..., None]
+
+            # -- next-event estimation: sample one light, trace shadow ray
+            # (solid-angle sampling, ref: Sampling.glsl + the RT-shadows
+            # kernel ShadowsRayTraced/compute.glsl:49-125)
+            if s.nee and s.light_spheres and self.n_lights > 0:
+                state, u_pick = rng.uniform(state)
+                li = jnp.minimum(
+                    (u_pick * self.n_lights).astype(jnp.int32), self.n_lights - 1
+                )
+                l_pos = lights["pos"][li]
+                l_rad = lights["radius"][li]
+                l_emit = lights["radiance"][li]
+                state, u_l = rng.uniform2(state)
+                ldir, lpdf, _ = sampling.sphere_light_sample(hp_point, l_pos, l_rad, u_l)
+                cos_s = jnp.maximum(jnp.sum(ns * ldir, axis=-1), 0.0)
+                # distance to sphere surface along ldir
+                sh_hit, sh_t = ray_sphere(hp_point, ldir, l_pos, l_rad)
+                eps_o = 1e-4 * jnp.maximum(1.0, jnp.linalg.norm(hp_point, axis=-1))
+                do_nee = hit_tri & (cos_s > 0.0) & sh_hit
+                rays_traced = rays_traced + jnp.sum(do_nee.astype(jnp.float32))
+                sh_tmax = jnp.where(do_nee, sh_t - 2.0 * eps_o, -1.0)
+                occluded = trace_any(
+                    scene, hp_point + gn * eps_o[..., None], ldir, sh_tmax,
+                    max_steps=s.max_trace_steps,
+                )
+                # full GGX BRDF (diffuse + rough specular); only near-delta
+                # specular and transmission are left to BSDF sampling
+                brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)
+                brdf_cos = brdf_cos * (1.0 - transmission)[..., None]
+                contrib = (
+                    throughput * brdf_cos * l_emit
+                    / jnp.maximum(lpdf, 1e-8)[..., None]
+                    * jnp.float32(self.n_lights)
+                )
+                radiance = radiance + jnp.where(
+                    (do_nee & ~occluded)[..., None], contrib, 0.0
+                )
+
+            state, u_lobe = rng.uniform(state)
+            state, u_dir = rng.uniform2(state)
+            surf = shading.sample_bsdf(
+                d, ns, albedo, metallic, roughness, transmission, ior,
+                inside, u_lobe, u_dir,
+            )
+            eps = 1e-4 * jnp.maximum(1.0, jnp.linalg.norm(hp_point, axis=-1, keepdims=True))
+            side = jnp.where(surf.is_transmissive[..., None], -gn, gn)
+            o = jnp.where(hit_tri[..., None], hp_point + side * eps, o)
+            d = jnp.where(hit_tri[..., None], surf.direction, d)
+            throughput = jnp.where(
+                hit_tri[..., None], throughput * surf.throughput_mul, throughput
+            )
+            inside = jnp.where(hit_tri & surf.is_transmissive, ~inside, inside)
+            prev_slot = jnp.where(hit_tri, hit.slot, prev_slot)
+            # delta-like only when the specular lobe is mirror-sharp; rough
+            # specular is covered by the NEE GGX term above
+            last_delta = (surf.is_specular & (roughness < 0.15)) | surf.is_transmissive
+            alive = hit_tri
+
+            # russian roulette (ref: include/RussianRoulette.glsl)
+            if s.russian_roulette and bounce >= s.rr_min_bounce:
+                p = jnp.clip(jnp.max(throughput, axis=-1), 0.02, 1.0)
+                state, u_rr = rng.uniform(state)
+                survive = u_rr < p
+                throughput = throughput / p[..., None]
+                alive = alive & survive
+
+        return radiance, aov_albedo, aov_normal, aov_depth, rays_traced
+
+    # ----------------------------------------------------------------
+    def render_frame(self, camera: Camera):
+        """Trace spp_per_frame samples and fold into the running average
+        (ref: FinalDraw/compute.glsl accumulation)."""
+        cam_params = camera.ray_params(self.width, self.height)
+        fn = self._get_compiled()
+        self.last_rays_traced = 0.0
+        for _ in range(self.settings.spp_per_frame):
+            radiance, alb, nrm, dep, nrays = fn(
+                self.scene, self.mats, self.lights, self.env_map, cam_params,
+                jnp.uint32(self._frame),
+            )
+            n = self.accumulated_samples
+            self.accum = (self.accum * n + radiance) / (n + 1)
+            self.accumulated_samples = n + 1
+            self._frame += 1
+            self._last_aovs = (alb, nrm, dep)
+            self.last_rays_traced = nrays  # device scalar; float() to read
+        return self.image()
+
+    def _get_compiled(self):
+        key = (self.width, self.height, self.settings)
+        if key not in self._compiled:
+            self._compiled[key] = jax.jit(self._render_sample)
+        return self._compiled[key]
+
+    def image(self) -> jnp.ndarray:
+        """(H,W,3) accumulated linear radiance."""
+        return self.accum.reshape(self.height, self.width, 3)

@@ -1,0 +1,187 @@
+"""Scene database: the ModelManager equivalent.
+
+Owns all loaded models as concatenated SoA arrays, the BVH, the light
+manager, and produces/updates the device-resident SceneArrays
+(ref: IDKEngine/Source/ModelManager.cs — global arrays mirrored in SSBOs).
+
+TPU-first differences from the reference:
+  - static geometry is hoisted and merged into ONE BLAS (the reference's
+    HoistMeshPrimitives optimization taken to its limit) so the traversal
+    kernel has no TLAS indirection;
+  - dynamic nodes keep per-instance transforms; their triangles live in the
+    same merged triangle space and are re-transformed ON DEVICE each frame
+    (vmapped matmul), followed by a device level-order BVH refit — there is
+    no GPU→CPU readback in the animation loop (the reference needs a fenced
+    readback for CPU refit, ModelManager.cs:281-359).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..bvh import BLAS
+from ..bvh.builder import BuildSettings
+from ..bvh.flatten import flatten_triangles, thread_bvh
+from ..log import get_logger
+from ..ops.trace import SceneArrays
+from ..utils import mathutil as mu
+from .lights import LightManager
+from .materials import MaterialTable
+from .model import Model, hoist_static_primitives
+
+log = get_logger(__name__)
+
+
+@dataclass
+class RefitLevels:
+    """Per-depth-level node index lists for the device bottom-up refit.
+
+    Replaces the reference's atomic-lock GPU refit protocol
+    (ref: BLASRefit/compute.glsl:31-37) with data-parallel level sweeps."""
+
+    levels: list[np.ndarray] = field(default_factory=list)  # deepest first
+
+
+@dataclass
+class SceneMeta:
+    """Host-side metadata about the flattened scene."""
+
+    n_triangles: int = 0
+    n_nodes: int = 0
+    sah_cost: float = 0.0
+    build_ms: float = 0.0
+    slot_instance: np.ndarray | None = None  # (T,) instance id per slot
+    n_instances: int = 0
+    instance_node: list[int] = field(default_factory=list)  # scene-node per instance
+    instance_model: list[int] = field(default_factory=list)
+
+
+class SceneDatabase:
+    """Concatenated scene + BVH + lights; produces device SceneArrays."""
+
+    def __init__(self, build_settings: BuildSettings | None = None):
+        self.build_settings = build_settings or BuildSettings(presplit_factor=0.3)
+        self.models: list[Model] = []
+        self.lights = LightManager()
+        self.materials = MaterialTable()
+        self.meta = SceneMeta()
+        # concatenated triangle-space arrays (model space == world space for
+        # hoisted static geometry)
+        self._verts: np.ndarray | None = None
+        self._indices: np.ndarray | None = None
+        self._normals: np.ndarray | None = None
+        self._uvs: np.ndarray | None = None
+        self._tri_mat: np.ndarray | None = None
+        self.blas: BLAS | None = None
+        self._flat = None
+        self._slot_tri: np.ndarray | None = None
+        self.device_scene: SceneArrays | None = None
+
+    # ------------------------------------------------------------------
+    def add_model(self, model: Model, transform: np.ndarray | None = None, hoist: bool = True):
+        """Append a model (optionally pre-transformed by a 4x4 root matrix).
+
+        ref: ModelManager.Add (ModelManager.cs:128-216) — array concat with
+        index rebasing happens at build()."""
+        if hoist:
+            model = hoist_static_primitives(model)
+        if transform is not None:
+            t = np.asarray(transform, np.float32)
+            nmat = np.linalg.inv(t[:3, :3]).T
+            for node in model.nodes:
+                if node.parent < 0:
+                    local = node.local_matrix()
+                    m = t @ local
+                    tr, q, s = mu.decompose_trs(m)
+                    node.translation, node.rotation, node.scale = tr, q, s
+            del nmat
+        self.models.append(model)
+
+    # ------------------------------------------------------------------
+    def build(self):
+        """Concatenate all models, build the merged BLAS, flatten to device
+        arrays. Call once after adding models (and again after structural
+        scene changes — ref: Gui.AddModelDialog path re-running BlasesBuild)."""
+        verts, idx, norms, uvs, tri_mat = [], [], [], [], []
+        voff = 0
+        mat_off = 0
+        for model in self.models:
+            transforms = model.global_transforms()
+            mat_off = self.materials.add_model(model)
+            for ni, node in enumerate(model.nodes):
+                if not node.mesh_primitives:
+                    continue
+                m = transforms[ni]
+                inst = node.instance_transforms
+                mats = [np.eye(4, dtype=np.float32)] if inst is None else list(inst)
+                for im in mats:
+                    world = m @ im
+                    nrm_m = np.linalg.inv(world[:3, :3]).T
+                    for pi in node.mesh_primitives:
+                        prim = model.primitives[pi]
+                        prim.ensure_normals()
+                        p = prim.positions @ world[:3, :3].T + world[:3, 3]
+                        n = mu.normalize(prim.normals @ nrm_m.T)
+                        verts.append(p.astype(np.float32))
+                        norms.append(n.astype(np.float32))
+                        uvs.append(
+                            prim.uvs.astype(np.float32)
+                            if prim.uvs is not None
+                            else np.zeros((p.shape[0], 2), np.float32)
+                        )
+                        idx.append(prim.indices.astype(np.uint32) + voff)
+                        tri_mat.append(
+                            np.full(prim.indices.shape[0], prim.material + mat_off, np.int32)
+                        )
+                        voff += p.shape[0]
+        if not verts:
+            raise ValueError("scene is empty")
+        self._verts = np.concatenate(verts)
+        self._indices = np.concatenate(idx)
+        self._normals = np.concatenate(norms)
+        self._uvs = np.concatenate(uvs)
+        self._tri_mat = np.concatenate(tri_mat)
+
+        self.blas = BLAS(self._verts, self._indices, self.build_settings)
+        self._flat, slot_perm = thread_bvh(self.blas.nodes)
+        self._slot_tri = self.blas.tri_indices[slot_perm]
+        ft = flatten_triangles(
+            self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
+        )
+        self.device_scene = SceneArrays.from_flat(self._flat, ft)
+        self.meta.n_triangles = int(self._indices.shape[0])
+        self.meta.n_nodes = int(self._flat.node_min.shape[0])
+        self.meta.sah_cost = self.blas.sah_cost
+        self.meta.build_ms = self.blas.build_ms
+        log.info(
+            "scene built: %d tris → %d slots, %d nodes, SAH %.1f, %.0f ms",
+            self.meta.n_triangles, self._slot_tri.shape[0], self.meta.n_nodes,
+            self.meta.sah_cost, self.meta.build_ms,
+        )
+        return self.device_scene
+
+    # ------------------------------------------------------------------
+    def refit_host(self, new_vertices: np.ndarray) -> SceneArrays:
+        """Host refit path: update vertices, refit BLAS, re-upload changed
+        arrays (the device-side refit lives in render/dynamic.py)."""
+        assert self.blas is not None
+        self._verts = np.ascontiguousarray(new_vertices, np.float32)
+        self.blas.refit(self._verts)
+        self._flat, slot_perm = thread_bvh(self.blas.nodes)
+        self._slot_tri = self.blas.tri_indices[slot_perm]
+        ft = flatten_triangles(
+            self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
+        )
+        self.device_scene = SceneArrays.from_flat(self._flat, ft)
+        return self.device_scene
+
+    # ------------------------------------------------------------------
+    def intersect_ray(self, origin, direction, t_max=3.4e38):
+        """CPU picking/collision ray (ref: BVH.Intersect, Bvh/BVH.cs:162-223)."""
+        assert self.blas is not None
+        return self.blas.intersect_ray(origin, direction, t_max)
+
+    def intersect_box(self, box_min, box_max):
+        assert self.blas is not None
+        return self.blas.intersect_box(box_min, box_max)

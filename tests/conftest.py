@@ -6,7 +6,11 @@ and exercise the multi-chip sharding path on a virtual mesh
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The axon TPU plugin (registered via sitecustomize when
+# PALLAS_AXON_POOL_IPS is set) deadlocks device→host transfers in CPU mode
+# on this box — blank it so CPU test runs never register the plugin.
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
