@@ -26,14 +26,20 @@ def main():
     from idkengine_tpu.scene.procedural import atrium
     from idkengine_tpu.scene.scene_db import SceneDatabase
 
-    tris = int(os.environ.get("IDK_BENCH_TRIS", 2_800_000))
+    tris = int(os.environ.get("IDK_BENCH_TRIS", 110_000))
     width = int(os.environ.get("IDK_BENCH_RES_W", 1920))
     height = int(os.environ.get("IDK_BENCH_RES_H", 1080))
     depth = int(os.environ.get("IDK_BENCH_DEPTH", 2))  # primary + bounce
     tile = int(os.environ.get("IDK_BENCH_TILE", 0))
     sort_rays = bool(int(os.environ.get("IDK_BENCH_SORT", "0")))
 
-    db = SceneDatabase()
+    from idkengine_tpu.bvh.builder import BuildSettings
+
+    # packet tracer wants <=8-tri leaves; presplit off keeps the leaf table
+    # inside the VMEM budget (large scenes fall back to the XLA trace)
+    db = SceneDatabase(BuildSettings(
+        max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0,
+    ))
     db.add_model(atrium(tris))
     scene = db.build()
     mats = db.materials.soa()
@@ -48,8 +54,12 @@ def main():
         do_ray_sorting=sort_rays,
         tile_size=tile,
         sky_strength=1.0,
+        use_packet_tracer=bool(int(os.environ.get("IDK_BENCH_PACKET", "1"))),
     )
-    pt = PathTracer(scene, mats, lights, width, height, settings)
+    pt = PathTracer(
+        scene, mats, lights, width, height, settings,
+        packet_scene=db.packet_scene,
+    )
 
     # warmup / compile
     pt.render_frame(cam)

@@ -83,19 +83,12 @@ def thread_bvh(nodes: np.ndarray) -> tuple[FlatBvh, np.ndarray]:
     miss_link[miss_link == n] = -1
     hit_link[counts > 0] = miss_link[counts > 0]  # leaves: fall through
 
-    # re-pack leaf tri slots into DFS leaf order
+    # Leaf slot ids stay in BUILDER order (contiguous per leaf already) so
+    # the threaded and packet tracers share one triangle slot space.
     leaf_mask = counts > 0
-    new_first = np.full(n, -1, dtype=np.int32)
-    slot_perm_parts = []
-    cursor = 0
-    for i in np.nonzero(leaf_mask)[0]:
-        c = int(counts[i])
-        new_first[i] = cursor
-        slot_perm_parts.append(np.arange(first_raw[i], first_raw[i] + c, dtype=np.int64))
-        cursor += c
-    slot_perm = (
-        np.concatenate(slot_perm_parts) if slot_perm_parts else np.empty(0, np.int64)
-    )
+    new_first = np.where(leaf_mask, first_raw, -1).astype(np.int32)
+    n_slots = int((first_raw + counts)[leaf_mask].max()) if leaf_mask.any() else 0
+    slot_perm = np.arange(n_slots, dtype=np.int64)  # identity: builder order
 
     return (
         FlatBvh(

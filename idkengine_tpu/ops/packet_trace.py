@@ -1,0 +1,444 @@
+"""Pallas TPU packet tracer — the hot traversal kernel.
+
+TPU-first replacement for per-ray traversal (ref: Resource/Shaders/include/
+BVHIntersect.glsl): a PACKET of 8x128 = 1024 rays traverses the BVH together
+with ONE shared traversal stack in SMEM. All per-node data arrives via
+scalar VMEM loads broadcast into dense (8,128) vector tests — the TPU has no
+fast per-lane gather, so the kernel never gathers; divergence costs masked
+work within a packet and is mitigated by ray sorting upstream.
+
+Data layout (v6):
+  pair table (1+ceil(P/2), 128) f32 — sibling pair p at row 1+(p>>1),
+  lane half (p&1)*64:
+      [c0.min3, c0.max3, c1.min3, c1.max3, c0.meta0, c0.meta1,
+       c1.meta0, c1.meta1] — 16 lanes used per pair.
+      metas are SMALL NON-NEGATIVE INTS stored exactly as f32 (< 2^24):
+        leaf child:     meta0 = first tri slot, meta1 = count + leaf_row*16
+        interior child: meta0 = its own pair index*4 + split_axis, meta1 = 0
+      children are swapped at build time so c0 is the lower child along the
+      pair's dominant axis; traversal orders near/far from the packet's mean
+      direction sign — no per-node reductions for ordering.
+      Row 0 is a dedicated root record: lanes 0..1 root meta, 2..7 root box.
+  leaf table (L, 128) f32 — triangle k of a leaf at lanes [k*9, +9):
+      p0(3), e1(3), e2(3) — static lanes, read by scalar VMEM loads.
+
+The traversal stack holds (meta0, meta1) of pending subtrees, so a pop needs
+no node fetch: leaves go straight to triangle tests; interiors load exactly
+16 scalars at static lanes (one 2-way branch on the row half) and use one
+fused reduction for both children's any-hit counts.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .trace import Hit
+
+PACKET = 1024  # 8 sublanes x 128 lanes
+MAX_LEAF_PACKET = 12  # triangles per leaf row (12*9=108 lanes used)
+STACK_DEPTH = 128
+# VMEM budget for the resident pair+leaf tables (the ray blocks, outputs and
+# double-buffering need the rest of the ~16 MB scoped vmem)
+PACKET_VMEM_BUDGET = 13_000_000
+
+
+# ---------------------------------------------------------------------------
+# Host-side table building
+# ---------------------------------------------------------------------------
+
+@dataclass
+class PacketTables:
+    pairs: np.ndarray  # (1+ceil(P/2),128) f32 (row 0 = root record)
+    leaf_geo: np.ndarray  # (L,128) f32
+    n_nodes: int
+    vmem_bytes: int
+
+
+def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
+    """Bottom-up collapse of sibling leaves into bigger leaves (≤ max_leaf)
+    to maximize leaf-row fill — the packet kernel tests a whole leaf row per
+    visit, so fuller leaves are free (ref: the reference's subtree collapse
+    in BLAS.OptimizeStackSize, BLAS.cs:875-937, same motivation). Children
+    occupy contiguous tri-slot ranges, so a merged leaf is just
+    (first_of_left, count_left + count_right). Returns a compact re-packed
+    node array."""
+    nodes = nodes.copy()
+    counts = nodes["count"]
+    firsts = nodes["left_or_first"]
+    # children always have larger indices than parents, so one reverse scan
+    # cascades collapses all the way up
+    for i in range(nodes.shape[0] - 1, -1, -1):
+        if counts[i] != 0:
+            continue
+        l = int(firsts[i])
+        cl, cr = int(counts[l]), int(counts[l + 1])
+        if 0 < cl and 0 < cr and cl + cr <= max_leaf and cl != 0xFFFFFFFF and cr != 0xFFFFFFFF:
+            counts[i] = cl + cr
+            firsts[i] = min(int(firsts[l]), int(firsts[l + 1]))
+            counts[l] = counts[l + 1] = 0xFFFFFFFF  # orphan marker
+    # BFS repack (drops orphans)
+    out = np.zeros(nodes.shape[0], dtype=nodes.dtype)
+    out[0] = nodes[0]
+    n_out = 1
+    k = 0
+    while k < n_out:
+        if out[k]["count"] == 0:
+            l = int(out[k]["left_or_first"])
+            out[k]["left_or_first"] = n_out
+            out[n_out] = nodes[l]
+            out[n_out + 1] = nodes[l + 1]
+            n_out += 2
+        k += 1
+    return out[:n_out].copy()
+
+
+def build_packet_tables(nodes: np.ndarray, slot_tri_ids: np.ndarray,
+                        vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
+    """Pack builder nodes (NODE_DTYPE, root 0, children l/l+1) + leaf-slot
+    triangles into the kernel's pair/leaf tables (see module docstring)."""
+    nodes = _collapse_leaves(nodes, MAX_LEAF_PACKET)
+    n = nodes.shape[0]
+    counts = nodes["count"].astype(np.int64)
+    firsts = nodes["left_or_first"].astype(np.int64)
+
+    interior = np.nonzero(counts == 0)[0]
+    leaf_ids = np.nonzero(counts > 0)[0]
+    lv = counts[leaf_ids]
+    assert lv.max(initial=0) <= MAX_LEAF_PACKET, (
+        f"leaf count {lv.max(initial=0)} exceeds packet capacity "
+        f"{MAX_LEAF_PACKET}; build the BLAS with max_leaf <= {MAX_LEAF_PACKET}"
+    )
+    leaf_row_of = np.zeros(n, np.int64)
+    leaf_row_of[leaf_ids] = np.arange(leaf_ids.shape[0])
+
+    pair_of = {int(firsts[ni]): pi for pi, ni in enumerate(interior)}
+    n_pairs = len(interior)
+
+    centers = 0.5 * (nodes["min"].astype(np.float64) + nodes["max"].astype(np.float64))
+
+    def meta_of(ni):
+        """(meta0, meta1) for pushing node ni (values < 2^24, exact in f32)."""
+        if counts[ni] > 0:
+            return float(firsts[ni]), float(counts[ni] + leaf_row_of[ni] * 16)
+        l = int(firsts[ni])
+        pi = pair_of[l]
+        axis = int(np.argmax(np.abs(centers[l + 1] - centers[l])))
+        return float(pi * 4 + axis), 0.0
+
+    pr_rows = max((n_pairs + 1) // 2, 1)
+    pairs = np.zeros((1 + pr_rows, 128), np.float32)
+
+    for pi, ni in enumerate(interior):
+        l = int(firsts[ni])
+        axis = int(np.argmax(np.abs(centers[l + 1] - centers[l])))
+        c0, c1 = (l, l + 1) if centers[l][axis] <= centers[l + 1][axis] else (l + 1, l)
+        row, off = 1 + (pi >> 1), (pi & 1) * 64
+        pairs[row, off + 0 : off + 3] = nodes["min"][c0]
+        pairs[row, off + 3 : off + 6] = nodes["max"][c0]
+        pairs[row, off + 6 : off + 9] = nodes["min"][c1]
+        pairs[row, off + 9 : off + 12] = nodes["max"][c1]
+        pairs[row, off + 12 : off + 14] = meta_of(c0)
+        pairs[row, off + 14 : off + 16] = meta_of(c1)
+
+    pairs[0, 0:2] = meta_of(0)
+    pairs[0, 2:5] = nodes["min"][0]
+    pairs[0, 5:8] = nodes["max"][0]
+
+    n_leaves = leaf_ids.shape[0]
+    leaf_geo = np.zeros((max(n_leaves, 1), 128), np.float32)
+    tri_v = indices[slot_tri_ids.astype(np.int64)]
+    p = vertices[tri_v]
+    p0 = p[:, 0]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    for li, ni in enumerate(leaf_ids):
+        first, cnt = firsts[ni], counts[ni]
+        for k in range(cnt):
+            s = first + k
+            base = k * 9
+            leaf_geo[li, base : base + 3] = p0[s]
+            leaf_geo[li, base + 3 : base + 6] = e1[s]
+            leaf_geo[li, base + 6 : base + 9] = e2[s]
+
+    vmem = pairs.nbytes + leaf_geo.nbytes
+    return PacketTables(pairs, leaf_geo, n, vmem)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class PacketScene:
+    pairs: jnp.ndarray
+    leaf_geo: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.pairs, self.leaf_geo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+    @staticmethod
+    def from_tables(t: PacketTables) -> "PacketScene":
+        return PacketScene(jnp.asarray(t.pairs), jnp.asarray(t.leaf_geo))
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
+    t0 = (bx0 - ox) * ix
+    t1 = (bx1 - ox) * ix
+    tn = jnp.minimum(t0, t1)
+    tf = jnp.maximum(t0, t1)
+    t0 = (by0 - oy) * iy
+    t1 = (by1 - oy) * iy
+    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    t0 = (bz0 - oz) * iz
+    t1 = (bz1 - oz) * iz
+    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    tn = jnp.maximum(tn, 0.0)
+    return (tf >= tn) & (tn <= t_best), tn
+
+
+def _make_kernel(any_hit: bool):
+    def kernel(
+        pairs_hbm, leaf_hbm,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        t_ref, slot_ref, u_ref, v_ref,
+        pairs_ref, leaf_ref,  # VMEM scratch (persist across grid steps)
+        stack0_ref, stack1_ref,  # SMEM stacks of (meta0, meta1) i32
+        dma_sems,
+    ):
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            cp = pltpu.make_async_copy(pairs_hbm, pairs_ref, dma_sems.at[0])
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(leaf_hbm, leaf_ref, dma_sems.at[1])
+            cp.start()
+            cp.wait()
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_max = tmax_ref[:]
+        tiny = jnp.float32(1e-20)
+        sgn = lambda d: jnp.where(d < 0, -tiny, tiny)
+        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny, sgn(dx), dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, sgn(dy), dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, sgn(dz), dz)
+
+        # packet's dominant direction sign per axis (near/far ordering)
+        neg_x = jnp.sum(dx) < 0.0
+        neg_y = jnp.sum(dy) < 0.0
+        neg_z = jnp.sum(dz) < 0.0
+
+        rm0 = pairs_ref[0, 0].astype(jnp.int32)
+        rm1 = pairs_ref[0, 1].astype(jnp.int32)
+        rhit, _ = _slab(
+            ox, oy, oz, ix, iy, iz,
+            pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
+            pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7],
+            t_max,
+        )
+        any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
+        stack0_ref[0] = rm0
+        stack1_ref[0] = rm1
+        sp0 = jnp.where(any_root, jnp.int32(1), jnp.int32(0))
+
+        t0 = t_max
+        slot0 = jnp.full((8, 128), -1, jnp.int32)
+        u0 = jnp.zeros((8, 128), jnp.float32)
+        v0 = jnp.zeros((8, 128), jnp.float32)
+
+        def cond(c):
+            return c[0] > 0
+
+        def body(c):
+            sp, t_best, slot, u, v = c
+            sp = sp - 1
+            m0 = stack0_ref[sp]
+            m1 = stack1_ref[sp]
+            is_leaf = m1 != 0
+
+            def leaf_case(args):
+                sp, t_best, slot, u, v = args
+                leaf_row = m1 // 16
+                count = m1 - leaf_row * 16
+                first = m0
+                for k in range(MAX_LEAF_PACKET):
+                    b = k * 9
+                    sl = lambda j: leaf_ref[leaf_row, b + j]
+                    p0x, p0y, p0z = sl(0), sl(1), sl(2)
+                    e1x, e1y, e1z = sl(3), sl(4), sl(5)
+                    e2x, e2y, e2z = sl(6), sl(7), sl(8)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                    sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                    uu = (sx * pvx + sy * pvy + sz * pvz) * inv_det
+                    qx = sy * e1z - sz * e1y
+                    qy = sz * e1x - sx * e1z
+                    qz = sx * e1y - sy * e1x
+                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (k < count)
+                        & (uu >= 0.0) & (uu <= 1.0)
+                        & (vv >= 0.0) & (uu + vv <= 1.0)
+                        & (tt > 0.0) & (tt < t_best)
+                    )
+                    t_best = jnp.where(ok, tt, t_best)
+                    slot = jnp.where(ok, first + k, slot)
+                    u = jnp.where(ok, uu, u)
+                    v = jnp.where(ok, vv, v)
+                return sp, t_best, slot, u, v
+
+            def interior_case(args):
+                sp, t_best, slot, u, v = args
+                axis = m0 & 3
+                p = m0 >> 2
+                row = 1 + (p >> 1)
+
+                def half(off):
+                    def inner(_):
+                        sl = lambda j: pairs_ref[row, off + j]
+                        h0, _tn0 = _slab(
+                            ox, oy, oz, ix, iy, iz,
+                            sl(0), sl(1), sl(2), sl(3), sl(4), sl(5), t_best,
+                        )
+                        h1, _tn1 = _slab(
+                            ox, oy, oz, ix, iy, iz,
+                            sl(6), sl(7), sl(8), sl(9), sl(10), sl(11), t_best,
+                        )
+                        a0 = sl(12).astype(jnp.int32)
+                        a1 = sl(13).astype(jnp.int32)
+                        b0 = sl(14).astype(jnp.int32)
+                        b1 = sl(15).astype(jnp.int32)
+                        s = jnp.sum(h0.astype(jnp.int32) + (h1.astype(jnp.int32) << 12))
+                        return a0, a1, b0, b1, s
+
+                    return inner
+
+                a0, a1, b0, b1, s = jax.lax.cond(
+                    (p & 1) == 0, half(0), half(64), None
+                )
+                n0 = s & 0xFFF
+                n1 = s >> 12
+                neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
+                both = (n0 > 0) & (n1 > 0)
+                far0 = jnp.where(neg, a0, b0)
+                far1 = jnp.where(neg, a1, b1)
+                near0 = jnp.where(neg, b0, a0)
+                near1 = jnp.where(neg, b1, a1)
+                only0 = jnp.where(n0 > 0, a0, b0)
+                only1 = jnp.where(n0 > 0, a1, b1)
+                near0 = jnp.where(both, near0, only0)
+                near1 = jnp.where(both, near1, only1)
+                do_far = both
+                do_near = (n0 > 0) | (n1 > 0)
+
+                @pl.when(do_far)
+                def _():
+                    stack0_ref[sp] = far0
+                    stack1_ref[sp] = far1
+
+                sp = sp + do_far.astype(jnp.int32)
+
+                @pl.when(do_near)
+                def _():
+                    stack0_ref[sp] = near0
+                    stack1_ref[sp] = near1
+
+                sp = sp + do_near.astype(jnp.int32)
+                return sp, t_best, slot, u, v
+
+            sp, t_best, slot, u, v = jax.lax.cond(
+                is_leaf, leaf_case, interior_case, (sp, t_best, slot, u, v)
+            )
+            if any_hit:
+                all_done = (
+                    jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32)) >= PACKET
+                )
+                sp = jnp.where(all_done, 0, sp)
+            return sp, t_best, slot, u, v
+
+        _, t, slot, u, v = jax.lax.while_loop(cond, body, (sp0, t0, slot0, u0, v0))
+        t_ref[:] = t
+        slot_ref[:] = slot
+        u_ref[:] = u
+        v_ref[:] = v
+
+    return kernel
+
+
+def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
+    r = o.shape[0]
+    assert r % PACKET == 0, f"ray count {r} must be a multiple of {PACKET}"
+    n_pk = r // PACKET
+    shape8 = (n_pk * 8, 128)
+    ox = o[:, 0].reshape(shape8)
+    oy = o[:, 1].reshape(shape8)
+    oz = o[:, 2].reshape(shape8)
+    dx = d[:, 0].reshape(shape8)
+    dy = d[:, 1].reshape(shape8)
+    dz = d[:, 2].reshape(shape8)
+    tm = t_max.reshape(shape8)
+
+    ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(shape8, jnp.float32),
+        jax.ShapeDtypeStruct(shape8, jnp.int32),
+        jax.ShapeDtypeStruct(shape8, jnp.float32),
+        jax.ShapeDtypeStruct(shape8, jnp.float32),
+    ]
+    t, slot, u, v = pl.pallas_call(
+        _make_kernel(any_hit),
+        grid=(n_pk,),
+        in_specs=[
+            hbm(), hbm(),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM(ps.pairs.shape, jnp.float32),
+            pltpu.VMEM(ps.leaf_geo.shape, jnp.float32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(ps.pairs, ps.leaf_geo, ox, oy, oz, dx, dy, dz, tm)
+    return Hit(
+        t=t.reshape(r), slot=slot.reshape(r), u=u.reshape(r), v=v.reshape(r)
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def packet_trace_closest(ps: PacketScene, o, d, t_max, interpret: bool = False) -> Hit:
+    """Closest-hit packet trace. o/d: (R,3), R multiple of 1024."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    return _pallas_trace(ps, o, d, t_max.astype(jnp.float32), False, interpret)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def packet_trace_any(ps: PacketScene, o, d, t_max, interpret: bool = False):
+    """Occlusion packet trace: True where something closer than t_max."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    hit = _pallas_trace(ps, o, d, t_max.astype(jnp.float32), True, interpret)
+    return hit.slot >= 0

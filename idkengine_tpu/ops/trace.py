@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from .intersect import INF, ray_aabb, ray_triangle
 
-MAX_LEAF = 4  # must match bvh.BuildSettings.max_leaf_triangle_count
+DEFAULT_MAX_LEAF = 4  # default for bvh.BuildSettings.max_leaf_triangle_count
 
 
 @jax.tree_util.register_pytree_node_class
@@ -41,6 +41,7 @@ class SceneArrays:
     tri_uv: jnp.ndarray  # (T,3,2) f32
     tri_mat: jnp.ndarray  # (T,) i32
     tri_gn: jnp.ndarray  # (T,3) f32 face normal
+    max_leaf: int = DEFAULT_MAX_LEAF  # static: unroll bound for leaf tests
 
     def tree_flatten(self):
         fields = (
@@ -48,14 +49,14 @@ class SceneArrays:
             self.hit_link, self.miss_link, self.tri_p0, self.tri_e1,
             self.tri_e2, self.tri_n, self.tri_uv, self.tri_mat, self.tri_gn,
         )
-        return fields, None
+        return fields, self.max_leaf
 
     @classmethod
     def tree_unflatten(cls, aux, fields):
-        return cls(*fields)
+        return cls(*fields, max_leaf=aux)
 
     @staticmethod
-    def from_flat(flat_bvh, flat_tris) -> "SceneArrays":
+    def from_flat(flat_bvh, flat_tris, max_leaf: int = DEFAULT_MAX_LEAF) -> "SceneArrays":
         return SceneArrays(
             node_min=jnp.asarray(flat_bvh.node_min),
             node_max=jnp.asarray(flat_bvh.node_max),
@@ -70,6 +71,7 @@ class SceneArrays:
             tri_uv=jnp.asarray(flat_tris.uv),
             tri_mat=jnp.asarray(flat_tris.mat),
             tri_gn=jnp.asarray(flat_tris.geom_normal),
+            max_leaf=max_leaf,
         )
 
 
@@ -97,7 +99,7 @@ def _traversal_step(scene: SceneArrays, o, d, inv_d, carry, any_hit: bool, t_cut
     is_leaf = count > 0
     do_leaf = box_hit & is_leaf
 
-    for k in range(MAX_LEAF):
+    for k in range(scene.max_leaf):
         valid = do_leaf & (k < count)
         tid = jnp.where(valid, first + k, 0)
         h, t, u, v = ray_triangle(o, d, scene.tri_p0[tid], scene.tri_e1[tid], scene.tri_e2[tid])

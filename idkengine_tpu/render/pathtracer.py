@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.intersect import ray_sphere
+from ..ops.packet_trace import PACKET, packet_trace_any, packet_trace_closest
 from ..ops.trace import SceneArrays, trace_any, trace_closest
 from ..utils import rng
 from ..utils.compression import decompress_normal
@@ -42,6 +43,7 @@ class PathTracerSettings:
     russian_roulette: bool = True
     rr_min_bounce: int = 2
     nee: bool = True  # next-event estimation toward sphere lights
+    use_packet_tracer: bool = True  # Pallas packet kernel when available
     do_ray_sorting: bool = False
     tile_size: int = 0  # 0 = whole batch in one traversal
     light_spheres: bool = True
@@ -128,8 +130,10 @@ class PathTracer:
         height: int,
         settings: PathTracerSettings | None = None,
         env_map: np.ndarray | None = None,
+        packet_scene=None,
     ):
         self.scene = scene
+        self.packet_scene = packet_scene
         self.mats = {k: jnp.asarray(v) for k, v in materials.items() if k != "count"}
         self.lights = {k: jnp.asarray(v) for k, v in lights.items() if k != "count"}
         self.n_lights = int(lights.get("count", 0))
@@ -179,11 +183,34 @@ class PathTracer:
         aov_depth = jnp.zeros((r,), jnp.float32)
         rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
 
+        use_packet = (
+            s.use_packet_tracer
+            and self.packet_scene is not None
+            and r % PACKET == 0
+        )
+
+        def _closest(o_, d_, t_max_, sort_key):
+            if use_packet:
+                if s.do_ray_sorting and sort_key is not None:
+                    perm = jnp.argsort(sort_key)
+                    inv = jnp.argsort(perm)
+                    h = packet_trace_closest(
+                        self.packet_scene, o_[perm], d_[perm], t_max_[perm]
+                    )
+                    return jax.tree_util.tree_map(lambda a: a[inv], h)
+                return packet_trace_closest(self.packet_scene, o_, d_, t_max_)
+            return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
+
+        def _occluded(o_, d_, t_max_):
+            if use_packet:
+                return packet_trace_any(self.packet_scene, o_, d_, t_max_)
+            return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
+
         for bounce in range(s.ray_depth):
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = prev_slot if bounce > 0 else None
-            hit = _trace_maybe_tiled(scene, o, d, t_max, s, sort_key)
+            hit = _closest(o, d, t_max, sort_key)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -281,10 +308,7 @@ class PathTracer:
                 do_nee = hit_tri & (cos_s > 0.0) & sh_hit
                 rays_traced = rays_traced + jnp.sum(do_nee.astype(jnp.float32))
                 sh_tmax = jnp.where(do_nee, sh_t - 2.0 * eps_o, -1.0)
-                occluded = trace_any(
-                    scene, hp_point + gn * eps_o[..., None], ldir, sh_tmax,
-                    max_steps=s.max_trace_steps,
-                )
+                occluded = _occluded(hp_point + gn * eps_o[..., None], ldir, sh_tmax)
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)

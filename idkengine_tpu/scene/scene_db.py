@@ -55,13 +55,16 @@ class SceneMeta:
     n_instances: int = 0
     instance_node: list[int] = field(default_factory=list)  # scene-node per instance
     instance_model: list[int] = field(default_factory=list)
+    packet_vmem_bytes: int = 0
 
 
 class SceneDatabase:
     """Concatenated scene + BVH + lights; produces device SceneArrays."""
 
     def __init__(self, build_settings: BuildSettings | None = None):
-        self.build_settings = build_settings or BuildSettings(presplit_factor=0.3)
+        self.build_settings = build_settings or BuildSettings(
+            presplit_factor=0.3, max_leaf_triangle_count=12, traversal_cost=4.0
+        )
         self.models: list[Model] = []
         self.lights = LightManager()
         self.materials = MaterialTable()
@@ -149,7 +152,10 @@ class SceneDatabase:
         ft = flatten_triangles(
             self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
         )
-        self.device_scene = SceneArrays.from_flat(self._flat, ft)
+        self.device_scene = SceneArrays.from_flat(
+            self._flat, ft, max_leaf=self.build_settings.max_leaf_triangle_count
+        )
+        self._build_packet_scene()
         self.meta.n_triangles = int(self._indices.shape[0])
         self.meta.n_nodes = int(self._flat.node_min.shape[0])
         self.meta.sah_cost = self.blas.sah_cost
@@ -160,6 +166,34 @@ class SceneDatabase:
             self.meta.sah_cost, self.meta.build_ms,
         )
         return self.device_scene
+
+    # ------------------------------------------------------------------
+    def _build_packet_scene(self):
+        """Pack the Pallas packet-tracer tables (ops/packet_trace.py) when
+        the build settings are compatible; shares the builder slot space
+        with the threaded-trace shading arrays."""
+        from ..ops.packet_trace import (
+            MAX_LEAF_PACKET, PACKET_VMEM_BUDGET, PacketScene, build_packet_tables,
+        )
+
+        self.packet_scene = None
+        if self.build_settings.max_leaf_triangle_count <= MAX_LEAF_PACKET:
+            try:
+                tables = build_packet_tables(
+                    self.blas.nodes, self.blas.tri_indices, self._verts, self._indices
+                )
+                self.meta.packet_vmem_bytes = tables.vmem_bytes
+                if tables.vmem_bytes <= PACKET_VMEM_BUDGET:
+                    self.packet_scene = PacketScene.from_tables(tables)
+                else:
+                    log.warning(
+                        "scene too large for VMEM-resident packet tracer "
+                        "(%.1f MB > %.1f MB budget); falling back to the XLA "
+                        "threaded trace", tables.vmem_bytes / 1e6,
+                        PACKET_VMEM_BUDGET / 1e6,
+                    )
+            except AssertionError as e:
+                log.warning("packet tables unavailable: %s", e)
 
     # ------------------------------------------------------------------
     def refit_host(self, new_vertices: np.ndarray) -> SceneArrays:
@@ -173,7 +207,10 @@ class SceneDatabase:
         ft = flatten_triangles(
             self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
         )
-        self.device_scene = SceneArrays.from_flat(self._flat, ft)
+        self.device_scene = SceneArrays.from_flat(
+            self._flat, ft, max_leaf=self.build_settings.max_leaf_triangle_count
+        )
+        self._build_packet_scene()
         return self.device_scene
 
     # ------------------------------------------------------------------

@@ -1,0 +1,106 @@
+"""Packet tracer (Pallas, interpret mode) vs CPU traversal oracle."""
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from idkengine_tpu.bvh import BLAS  # noqa: E402
+from idkengine_tpu.bvh.builder import BuildSettings  # noqa: E402
+from idkengine_tpu.ops.packet_trace import (  # noqa: E402
+    MAX_LEAF_PACKET,
+    PacketScene,
+    _collapse_leaves,
+    build_packet_tables,
+    packet_trace_any,
+    packet_trace_closest,
+)
+from idkengine_tpu.scene.procedural import atrium, cornell_box  # noqa: E402
+
+
+def _merge(model):
+    verts, idx = [], []
+    voff = 0
+    for p in model.primitives:
+        verts.append(p.positions)
+        idx.append(p.indices + voff)
+        voff += p.positions.shape[0]
+    return np.concatenate(verts), np.concatenate(idx)
+
+
+@pytest.fixture(scope="module")
+def cornell_setup():
+    verts, idx = _merge(cornell_box())
+    b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=MAX_LEAF_PACKET, traversal_cost=3.0))
+    tables = build_packet_tables(b.nodes, b.tri_indices, verts, idx)
+    return b, PacketScene.from_tables(tables)
+
+
+class TestCollapse:
+    def test_collapse_preserves_coverage(self):
+        verts, idx = _merge(atrium(5000))
+        b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
+        merged = _collapse_leaves(b.nodes, 12)
+        # all original tri slots still referenced exactly once-ish (ranges)
+        leaf = merged["count"] > 0
+        total = int(merged["count"][leaf].sum())
+        assert total == b.tri_indices.shape[0]
+        # parent containment holds
+        interior = ~leaf
+        left = merged["left_or_first"][interior]
+        for s, l in zip(np.nonzero(interior)[0], left):
+            for c in (l, l + 1):
+                assert (merged["min"][s] <= merged["min"][c] + 1e-4).all()
+
+    def test_collapse_shrinks_leaf_count(self):
+        verts, idx = _merge(atrium(5000))
+        b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
+        before = int((b.nodes["count"] > 0).sum())
+        merged = _collapse_leaves(b.nodes, 12)
+        after = int((merged["count"] > 0).sum())
+        assert after < before
+
+
+class TestPacketTrace:
+    def test_closest_matches_cpu(self, cornell_setup):
+        b, ps = cornell_setup
+        rs = np.random.RandomState(3)
+        R = 1024
+        o = (b.vertices.mean(0) + rs.randn(R, 3) * 300).astype(np.float32)
+        d = rs.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        hit = packet_trace_closest(
+            ps, jnp.asarray(o), jnp.asarray(d), jnp.full((R,), 1e30, jnp.float32),
+            interpret=True,
+        )
+        for i in range(0, R, 29):
+            cpu = b.intersect_ray(o[i], d[i])
+            if cpu is None:
+                assert int(hit.slot[i]) < 0
+            else:
+                assert float(hit.t[i]) == pytest.approx(cpu[0], rel=1e-2)
+
+    def test_any_hit_matches_cpu(self, cornell_setup):
+        b, ps = cornell_setup
+        rs = np.random.RandomState(4)
+        R = 1024
+        o = (b.vertices.mean(0) + rs.randn(R, 3) * 200).astype(np.float32)
+        d = rs.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        t_cut = 250.0
+        occ = packet_trace_any(
+            ps, jnp.asarray(o), jnp.asarray(d), jnp.full((R,), t_cut, jnp.float32),
+            interpret=True,
+        )
+        for i in range(0, R, 29):
+            cpu = b.intersect_ray(o[i], d[i], t_cut)
+            assert bool(occ[i]) == (cpu is not None)
+
+    def test_dead_rays_ignored(self, cornell_setup):
+        _, ps = cornell_setup
+        R = 1024
+        o = jnp.zeros((R, 3), jnp.float32)
+        d = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (R, 1))
+        t_max = jnp.full((R,), -1.0, jnp.float32)  # all dead
+        hit = packet_trace_closest(ps, o, d, t_max, interpret=True)
+        assert int(jnp.sum(hit.slot >= 0)) == 0
