@@ -58,6 +58,40 @@ class PacketTables:
     leaf_geo: np.ndarray  # (L,128) f32
     n_nodes: int
     vmem_bytes: int
+    # refresh plan (topology-static indices for refit updates)
+    collapsed_nodes: np.ndarray | None = None
+    plan_c0: np.ndarray | None = None  # (P,) collapsed-node id of lower child
+    plan_c1: np.ndarray | None = None
+    plan_row: np.ndarray | None = None  # (P,) pair row
+    plan_off: np.ndarray | None = None  # (P,) pair lane offset
+    plan_leaf_slot: np.ndarray | None = None  # (S,) tri slot per leaf lane group
+    plan_leaf_row: np.ndarray | None = None  # (S,) leaf row
+    plan_leaf_base: np.ndarray | None = None  # (S,) lane base (k*9)
+    collapse_map: np.ndarray | None = None  # (Nc,) collapsed idx -> builder idx
+
+    def refresh(self, nodes: np.ndarray, slot_tri_ids: np.ndarray,
+                vertices: np.ndarray, indices: np.ndarray):
+        """Update boxes + leaf geometry in place after a refit (topology and
+        near/far axis choices stay from build time — ordering is a heuristic,
+        correctness is unaffected). Fully vectorized (per-frame path)."""
+        nm = nodes["min"][self.collapse_map]
+        nx = nodes["max"][self.collapse_map]
+        for j in range(3):
+            self.pairs[self.plan_row, self.plan_off + j] = nm[self.plan_c0][:, j]
+            self.pairs[self.plan_row, self.plan_off + 3 + j] = nx[self.plan_c0][:, j]
+            self.pairs[self.plan_row, self.plan_off + 6 + j] = nm[self.plan_c1][:, j]
+            self.pairs[self.plan_row, self.plan_off + 9 + j] = nx[self.plan_c1][:, j]
+        self.pairs[0, 2:5] = nodes["min"][0]
+        self.pairs[0, 5:8] = nodes["max"][0]
+        tri_v = indices[slot_tri_ids[self.plan_leaf_slot].astype(np.int64)]
+        p = vertices[tri_v]
+        p0 = p[:, 0]
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        for j in range(3):
+            self.leaf_geo[self.plan_leaf_row, self.plan_leaf_base + j] = p0[:, j]
+            self.leaf_geo[self.plan_leaf_row, self.plan_leaf_base + 3 + j] = e1[:, j]
+            self.leaf_geo[self.plan_leaf_row, self.plan_leaf_base + 6 + j] = e2[:, j]
 
 
 def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
@@ -82,9 +116,11 @@ def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
             counts[i] = cl + cr
             firsts[i] = min(int(firsts[l]), int(firsts[l + 1]))
             counts[l] = counts[l + 1] = 0xFFFFFFFF  # orphan marker
-    # BFS repack (drops orphans)
+    # BFS repack (drops orphans); track original builder ids for refits
     out = np.zeros(nodes.shape[0], dtype=nodes.dtype)
+    orig = np.zeros(nodes.shape[0], np.int64)
     out[0] = nodes[0]
+    orig[0] = 0
     n_out = 1
     k = 0
     while k < n_out:
@@ -93,16 +129,19 @@ def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
             out[k]["left_or_first"] = n_out
             out[n_out] = nodes[l]
             out[n_out + 1] = nodes[l + 1]
+            orig[n_out] = l
+            orig[n_out + 1] = l + 1
             n_out += 2
         k += 1
-    return out[:n_out].copy()
+    return out[:n_out].copy(), orig[:n_out].copy()
 
 
-def build_packet_tables(nodes: np.ndarray, slot_tri_ids: np.ndarray,
+def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
                         vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
     """Pack builder nodes (NODE_DTYPE, root 0, children l/l+1) + leaf-slot
-    triangles into the kernel's pair/leaf tables (see module docstring)."""
-    nodes = _collapse_leaves(nodes, MAX_LEAF_PACKET)
+    triangles into the kernel's pair/leaf tables (fully vectorized; also
+    captures the static-index refresh plan for per-frame refits)."""
+    nodes, collapse_map = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
     n = nodes.shape[0]
     counts = nodes["count"].astype(np.int64)
     firsts = nodes["left_or_first"].astype(np.int64)
@@ -117,57 +156,86 @@ def build_packet_tables(nodes: np.ndarray, slot_tri_ids: np.ndarray,
     leaf_row_of = np.zeros(n, np.int64)
     leaf_row_of[leaf_ids] = np.arange(leaf_ids.shape[0])
 
-    pair_of = {int(firsts[ni]): pi for pi, ni in enumerate(interior)}
-    n_pairs = len(interior)
+    # pair index per interior node, addressed by its left-child id
+    pair_of = np.full(n + 1, -1, np.int64)
+    pair_of[firsts[interior]] = np.arange(interior.shape[0])
+    n_pairs = interior.shape[0]
 
     centers = 0.5 * (nodes["min"].astype(np.float64) + nodes["max"].astype(np.float64))
 
-    def meta_of(ni):
-        """(meta0, meta1) for pushing node ni (values < 2^24, exact in f32)."""
-        if counts[ni] > 0:
-            return float(firsts[ni]), float(counts[ni] + leaf_row_of[ni] * 16)
-        l = int(firsts[ni])
-        pi = pair_of[l]
-        axis = int(np.argmax(np.abs(centers[l + 1] - centers[l])))
-        return float(pi * 4 + axis), 0.0
+    # per-node meta (vectorized): leaf -> (first, count + row*16);
+    # interior node ni with children (l, l+1) -> (pair_of[l]*4 + axis, 0)
+    axis_of = np.zeros(n, np.int64)
+    if n_pairs:
+        l_all = firsts[interior]
+        diff = np.abs(centers[l_all + 1] - centers[l_all])
+        ax = np.argmax(diff, axis=1)
+        axis_of[interior] = ax
+    meta0 = np.where(
+        counts > 0, firsts.astype(np.float64),
+        (pair_of[np.minimum(firsts, n)] * 4 + axis_of).astype(np.float64),
+    )
+    meta1 = np.where(counts > 0, (counts + leaf_row_of * 16).astype(np.float64), 0.0)
 
     pr_rows = max((n_pairs + 1) // 2, 1)
     pairs = np.zeros((1 + pr_rows, 128), np.float32)
 
-    for pi, ni in enumerate(interior):
-        l = int(firsts[ni])
-        axis = int(np.argmax(np.abs(centers[l + 1] - centers[l])))
-        c0, c1 = (l, l + 1) if centers[l][axis] <= centers[l + 1][axis] else (l + 1, l)
-        row, off = 1 + (pi >> 1), (pi & 1) * 64
-        pairs[row, off + 0 : off + 3] = nodes["min"][c0]
-        pairs[row, off + 3 : off + 6] = nodes["max"][c0]
-        pairs[row, off + 6 : off + 9] = nodes["min"][c1]
-        pairs[row, off + 9 : off + 12] = nodes["max"][c1]
-        pairs[row, off + 12 : off + 14] = meta_of(c0)
-        pairs[row, off + 14 : off + 16] = meta_of(c1)
+    if n_pairs:
+        l_all = firsts[interior]
+        ax = axis_of[interior]
+        swap = centers[l_all, ax] > centers[l_all + 1, ax]
+        c0 = np.where(swap, l_all + 1, l_all)
+        c1 = np.where(swap, l_all, l_all + 1)
+        pi = np.arange(n_pairs)
+        row = 1 + (pi >> 1)
+        off = (pi & 1) * 64
+        for j in range(3):
+            pairs[row, off + j] = nodes["min"][c0][:, j]
+            pairs[row, off + 3 + j] = nodes["max"][c0][:, j]
+            pairs[row, off + 6 + j] = nodes["min"][c1][:, j]
+            pairs[row, off + 9 + j] = nodes["max"][c1][:, j]
+        pairs[row, off + 12] = meta0[c0]
+        pairs[row, off + 13] = meta1[c0]
+        pairs[row, off + 14] = meta0[c1]
+        pairs[row, off + 15] = meta1[c1]
+    else:
+        c0 = c1 = row = off = np.zeros(0, np.int64)
 
-    pairs[0, 0:2] = meta_of(0)
+    pairs[0, 0] = meta0[0]
+    pairs[0, 1] = meta1[0]
     pairs[0, 2:5] = nodes["min"][0]
     pairs[0, 5:8] = nodes["max"][0]
 
+    # leaf geometry (vectorized): one entry per (leaf, k<count)
     n_leaves = leaf_ids.shape[0]
     leaf_geo = np.zeros((max(n_leaves, 1), 128), np.float32)
-    tri_v = indices[slot_tri_ids.astype(np.int64)]
-    p = vertices[tri_v]
-    p0 = p[:, 0]
-    e1 = p[:, 1] - p[:, 0]
-    e2 = p[:, 2] - p[:, 0]
-    for li, ni in enumerate(leaf_ids):
-        first, cnt = firsts[ni], counts[ni]
-        for k in range(cnt):
-            s = first + k
-            base = k * 9
-            leaf_geo[li, base : base + 3] = p0[s]
-            leaf_geo[li, base + 3 : base + 6] = e1[s]
-            leaf_geo[li, base + 6 : base + 9] = e2[s]
+    if n_leaves:
+        kk = np.arange(MAX_LEAF_PACKET)
+        mask = kk[None, :] < counts[leaf_ids][:, None]  # (L,K)
+        li_idx, k_idx = np.nonzero(mask)
+        slots = firsts[leaf_ids][li_idx] + k_idx
+        rows_l = li_idx
+        base_l = k_idx * 9
+        tri_v = indices[slot_tri_ids[slots].astype(np.int64)]
+        p = vertices[tri_v]
+        p0 = p[:, 0]
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        for j in range(3):
+            leaf_geo[rows_l, base_l + j] = p0[:, j]
+            leaf_geo[rows_l, base_l + 3 + j] = e1[:, j]
+            leaf_geo[rows_l, base_l + 6 + j] = e2[:, j]
+    else:
+        rows_l = base_l = slots = np.zeros(0, np.int64)
 
     vmem = pairs.nbytes + leaf_geo.nbytes
-    return PacketTables(pairs, leaf_geo, n, vmem)
+    return PacketTables(
+        pairs, leaf_geo, n, vmem,
+        collapsed_nodes=nodes,
+        plan_c0=c0, plan_c1=c1, plan_row=row, plan_off=off,
+        plan_leaf_slot=slots, plan_leaf_row=rows_l, plan_leaf_base=base_l,
+        collapse_map=collapse_map,
+    )
 
 
 @jax.tree_util.register_pytree_node_class

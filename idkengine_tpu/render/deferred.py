@@ -1,0 +1,80 @@
+"""Deferred lighting + ray-traced shadows over the G-buffer.
+
+Re-expression of the reference's deferred shading pass
+(ref: Resource/Shaders/DeferredLighting/fragment.glsl:50-92 + include/
+Impl.glsl:5-63 — per-light GGX + attenuation with None/PCF/RayTraced shadow
+modes) and the RT-shadows kernel (ref: ShadowsRayTraced/compute.glsl:49-125).
+On TPU the "shadow map" modes collapse into the ray-traced mode: shadow rays
+reuse the trace kernels; the PCF look is obtained by jittered solid-angle
+light sampling (soft shadows are native here).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+
+from ..utils import rng as rng_mod
+from . import sampling, shading
+
+
+@dataclass(frozen=True)
+class DeferredSettings:
+    shadow_mode: str = "ray_traced"  # none | ray_traced (ref: None/PCF/RT)
+    shadow_samples: int = 1
+    ambient: float = 0.03  # flat ambient when VXGI is off (ref: Impl.glsl)
+
+
+def shade_deferred(gbuf, lights, n_lights: int, cam_origin, occlusion_fn,
+                   settings: DeferredSettings = DeferredSettings(),
+                   gi: jnp.ndarray | None = None, ao: jnp.ndarray | None = None,
+                   frame=0):
+    """Direct lighting for every G-buffer pixel.
+
+    occlusion_fn(o, d, t_max) -> bool occluded, or None for unshadowed;
+    gi: optional (H,W,3) cone-traced indirect; ao: optional (H,W) SSAO."""
+    h, w = gbuf.albedo.shape[:2]
+    r = h * w
+    pos = gbuf.position.reshape(r, 3)
+    n = gbuf.normal.reshape(r, 3)
+    alb = gbuf.albedo.reshape(r, 3)
+    met = gbuf.metallic.reshape(r)
+    rough = gbuf.roughness.reshape(r)
+    mask = gbuf.mask.reshape(r)
+
+    view = cam_origin - pos
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-8)
+
+    state = rng_mod.init_state(jnp.arange(r, dtype=jnp.uint32), frame)
+    out = gbuf.emissive.reshape(r, 3)
+    for li in range(n_lights):
+        l_pos = lights["pos"][li]
+        l_rad = lights["radiance"][li]
+        l_r = lights["radius"][li]
+        vis = jnp.ones((r,), jnp.float32)
+        to_l = l_pos - pos
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        ldir = to_l / jnp.maximum(dist, 1e-8)[..., None]
+        if settings.shadow_mode == "ray_traced" and occlusion_fn is not None:
+            acc = jnp.zeros((r,), jnp.float32)
+            for _ in range(settings.shadow_samples):
+                state, u = rng_mod.uniform2(state)
+                sdir, _, _ = sampling.sphere_light_sample(pos, l_pos, l_r, u)
+                occ = occlusion_fn(pos + n * 1e-3, sdir, dist - l_r - 1e-3)
+                acc = acc + 1.0 - occ.astype(jnp.float32)
+            vis = acc / settings.shadow_samples
+        brdf_cos = shading.ggx_brdf(n, view, ldir, alb, met, rough)
+        # sphere-light irradiance ~ L_e * pi R^2 / d^2 (consistent with the
+        # path tracer's area-emitter radiance convention)
+        att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
+        out = out + brdf_cos * l_rad * (att * vis)[..., None]
+
+    # indirect: VXGI cone-traced GI or flat ambient (ref: Impl.glsl indirect)
+    ao_f = 1.0 - ao.reshape(r) if ao is not None else jnp.ones((r,), jnp.float32)
+    if gi is not None:
+        out = out + gi.reshape(r, 3) * alb * ao_f[..., None]
+    else:
+        out = out + settings.ambient * alb * ao_f[..., None]
+
+    out = jnp.where(mask[..., None], out, 0.0)
+    return out.reshape(h, w, 3)

@@ -109,7 +109,8 @@ class SceneDatabase:
         verts, idx, norms, uvs, tri_mat = [], [], [], [], []
         voff = 0
         mat_off = 0
-        for model in self.models:
+        self._placements = []  # (model_i, node_i, prim_i, inst_mat, v_start, v_end)
+        for mi, model in enumerate(self.models):
             transforms = model.global_transforms()
             mat_off = self.materials.add_model(model)
             for ni, node in enumerate(model.nodes):
@@ -126,6 +127,9 @@ class SceneDatabase:
                         prim.ensure_normals()
                         p = prim.positions @ world[:3, :3].T + world[:3, 3]
                         n = mu.normalize(prim.normals @ nrm_m.T)
+                        self._placements.append(
+                            (mi, ni, pi, im, voff, voff + p.shape[0])
+                        )
                         verts.append(p.astype(np.float32))
                         norms.append(n.astype(np.float32))
                         uvs.append(
@@ -177,6 +181,7 @@ class SceneDatabase:
         )
 
         self.packet_scene = None
+        self._packet_tables = None
         if self.build_settings.max_leaf_triangle_count <= MAX_LEAF_PACKET:
             try:
                 tables = build_packet_tables(
@@ -184,6 +189,7 @@ class SceneDatabase:
                 )
                 self.meta.packet_vmem_bytes = tables.vmem_bytes
                 if tables.vmem_bytes <= PACKET_VMEM_BUDGET:
+                    self._packet_tables = tables
                     self.packet_scene = PacketScene.from_tables(tables)
                 else:
                     log.warning(
@@ -194,6 +200,81 @@ class SceneDatabase:
                     )
             except AssertionError as e:
                 log.warning("packet tables unavailable: %s", e)
+
+    # ------------------------------------------------------------------
+    def update(self, time: float, animation_index: int = 0) -> SceneArrays:
+        """Per-frame scene update: sample animations → node hierarchy →
+        skinning → vertex refresh → BVH refit → device array refresh
+        (ref: ModelManager.Update, ModelManager.cs:236-361 — without the
+        fenced readback: all arrays live host-side and re-upload).
+
+        Returns the refreshed device SceneArrays (packet tables refresh too)."""
+        from . import animation as anim_mod
+        from . import skinning as skin_mod
+
+        any_dynamic = False
+        for mi, model in enumerate(self.models):
+            if not model.animations:
+                continue
+            anim = model.animations[min(animation_index, len(model.animations) - 1)]
+            anim_mod.apply_animation(model, anim, time)
+            transforms = model.global_transforms()
+            any_dynamic = True
+            # skinned vertices (LBS on device, pulled back for the refit)
+            skinned_cache: dict[int, np.ndarray] = {}
+            for mi2, ni, pi, im, v0, v1 in self._placements:
+                if mi2 != mi:
+                    continue
+                node = model.nodes[ni]
+                prim = model.primitives[pi]
+                if node.skin >= 0 and prim.joints is not None:
+                    if pi not in skinned_cache:
+                        jm = skin_mod.joint_matrices(transforms, model.skins[node.skin])
+                        import jax.numpy as jnp
+
+                        sp = skin_mod.skin_positions(
+                            jnp.asarray(prim.positions),
+                            jnp.asarray(prim.joints.astype(np.int32)),
+                            jnp.asarray(prim.weights),
+                            jnp.asarray(jm),
+                        )
+                        sn = skin_mod.skin_normals(
+                            jnp.asarray(prim.normals),
+                            jnp.asarray(prim.joints.astype(np.int32)),
+                            jnp.asarray(prim.weights),
+                            jnp.asarray(jm),
+                        )
+                        skinned_cache[pi] = (np.asarray(sp), np.asarray(sn))
+                    p_local, n_local = skinned_cache[pi]
+                    world = np.eye(4, dtype=np.float32)  # skin is in model space
+                else:
+                    p_local, n_local = prim.positions, prim.normals
+                    world = transforms[ni] @ im
+                nrm_m = np.linalg.inv(world[:3, :3]).T
+                self._verts[v0:v1] = (
+                    p_local @ world[:3, :3].T + world[:3, 3]
+                ).astype(np.float32)
+                self._normals[v0:v1] = mu.normalize(n_local @ nrm_m.T).astype(np.float32)
+        if not any_dynamic:
+            return self.device_scene
+
+        # refit the builder BVH (C++, bottom-up) and refresh device arrays
+        self.blas.refit(self._verts)
+        self._flat.refresh_boxes(self.blas.nodes)
+        ft = flatten_triangles(
+            self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
+        )
+        self.device_scene = SceneArrays.from_flat(
+            self._flat, ft, max_leaf=self.build_settings.max_leaf_triangle_count
+        )
+        if self.packet_scene is not None and self._packet_tables is not None:
+            self._packet_tables.refresh(
+                self.blas.nodes, self.blas.tri_indices, self._verts, self._indices
+            )
+            from ..ops.packet_trace import PacketScene
+
+            self.packet_scene = PacketScene.from_tables(self._packet_tables)
+        return self.device_scene
 
     # ------------------------------------------------------------------
     def refit_host(self, new_vertices: np.ndarray) -> SceneArrays:

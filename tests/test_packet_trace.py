@@ -40,7 +40,7 @@ class TestCollapse:
     def test_collapse_preserves_coverage(self):
         verts, idx = _merge(atrium(5000))
         b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
-        merged = _collapse_leaves(b.nodes, 12)
+        merged, _ = _collapse_leaves(b.nodes, 12)
         # all original tri slots still referenced exactly once-ish (ranges)
         leaf = merged["count"] > 0
         total = int(merged["count"][leaf].sum())
@@ -56,7 +56,7 @@ class TestCollapse:
         verts, idx = _merge(atrium(5000))
         b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
         before = int((b.nodes["count"] > 0).sum())
-        merged = _collapse_leaves(b.nodes, 12)
+        merged, _ = _collapse_leaves(b.nodes, 12)
         after = int((merged["count"] > 0).sum())
         assert after < before
 
