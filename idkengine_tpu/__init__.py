@@ -16,3 +16,6 @@ Layer map (mirrors SURVEY.md §1, re-architected for TPU):
 """
 
 __version__ = "0.1.0"
+
+from . import collision, profiling, recorder  # noqa: E402,F401
+from .engine import Engine, EngineSettings, RenderMode  # noqa: E402,F401

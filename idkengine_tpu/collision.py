@@ -56,9 +56,19 @@ def scene_vs_moving_sphere(
                     candidates, new_pos.astype(np.float32), radius
                 )
                 if res is not None:
-                    closest, dist, _ = res
-                    # push out along the contact normal and slide
-                    n = normalize(new_pos - np.asarray(closest, np.float64))
+                    closest, dist, local_i = res
+                    # contact normal; degenerate (center on the surface) →
+                    # use the triangle's face normal oriented toward travel
+                    delta = new_pos - np.asarray(closest, np.float64)
+                    if dist > 1e-5:
+                        n = normalize(delta)
+                    else:
+                        tri = int(candidates[local_i])
+                        vid = scene_db.blas.indices[tri]
+                        a, b, c = scene_db.blas.vertices[vid].astype(np.float64)
+                        n = normalize(np.cross(b - a, c - a))
+                        if np.dot(n, pos - new_pos) < 0:
+                            n = -n
                     penetration = radius - dist
                     pos = new_pos + n * (penetration + settings.epsilon)
                     # remove the normal component from the remaining motion

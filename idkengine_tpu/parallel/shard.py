@@ -1,0 +1,86 @@
+"""Multi-chip scaling: shard the ray megabatch over a device mesh.
+
+The reference is single-GPU with no distribution story (SURVEY.md §5); the
+TPU-native scaling axis is the wavefront ray pool — pure data parallelism
+over pixels/rays with the BVH + materials replicated per chip. Collectives
+only appear at image assembly (an all_gather the jit inserts from the output
+sharding); there is NO per-bounce communication, so scaling rides ICI
+bandwidth-free.
+
+For scenes larger than per-chip HBM a ring-pass-the-scene variant over ICI
+(the CP analogue from SURVEY.md §5) would shard the triangle arrays and
+ppermute them through the bounce loop — not needed at current scene sizes.
+"""
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, axis: str = "rays") -> Mesh:
+    """1-D device mesh over the ray axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def replicate(mesh: Mesh, tree):
+    """Replicate a pytree (scene/materials/lights) onto every device."""
+    return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_rays(mesh: Mesh, tree, axis: str = "rays"):
+    """Shard leading (ray) axis of a pytree of (R, ...) arrays."""
+    return jax.device_put(tree, NamedSharding(mesh, P(axis)))
+
+
+def shard_render(mesh: Mesh, render_sample_fn, axis: str = "rays"):
+    """Wrap a PT sample function for SPMD execution: inputs replicated,
+    radiance output sharded over rays. XLA partitions the whole bounce loop
+    (raygen is pixel-index math, traversal/shading are elementwise over
+    rays), so each chip traces its pixel slice independently."""
+    repl = NamedSharding(mesh, P())
+    by_rays = NamedSharding(mesh, P(axis))
+
+    return jax.jit(
+        render_sample_fn,
+        in_shardings=(repl,) * 6,
+        out_shardings=(by_rays, by_rays, by_rays, by_rays, repl),
+    )
+
+
+class ShardedPathTracer:
+    """PathTracer wrapper that runs the sample step SPMD over a mesh.
+
+    Usage:
+        pt = PathTracer(...)
+        spt = ShardedPathTracer(pt, make_mesh())
+        img = spt.render_frame(camera)
+    """
+
+    def __init__(self, pt, mesh: Mesh):
+        self.pt = pt
+        self.mesh = mesh
+        self._scene_r = replicate(mesh, pt.scene)
+        self._mats_r = replicate(mesh, pt.mats)
+        self._lights_r = replicate(mesh, pt.lights)
+        self._env_r = None if pt.env_map is None else replicate(mesh, pt.env_map)
+        self._fn = shard_render(mesh, pt._render_sample)
+
+    def render_frame(self, camera):
+        import jax.numpy as jnp
+
+        cam_params = replicate(self.mesh, camera.ray_params(self.pt.width, self.pt.height))
+        radiance, alb, nrm, dep, nrays = self._fn(
+            self._scene_r, self._mats_r, self._lights_r, self._env_r,
+            cam_params, jnp.uint32(self.pt._frame),
+        )
+        n = self.pt.accumulated_samples
+        self.pt.accum = (self.pt.accum * n + radiance) / (n + 1)
+        self.pt.accumulated_samples = n + 1
+        self.pt._frame += 1
+        self.pt._last_aovs = (alb, nrm, dep)
+        self.pt.last_rays_traced = nrays
+        return self.pt.image()

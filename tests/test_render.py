@@ -1,0 +1,243 @@
+"""Render-stack unit tests (fast CPU, small shapes)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from idkengine_tpu.render import sampling, shading
+from idkengine_tpu.render.bloom import BloomSettings, bloom
+from idkengine_tpu.render.camera import Camera, generate_rays
+from idkengine_tpu.render.denoise import DenoiseSettings, atrous_denoise
+from idkengine_tpu.render.taa import TaaSettings, taa_resolve
+from idkengine_tpu.render.tonemap import TonemapSettings, to_uint8, tonemap
+
+
+class TestSampling:
+    def test_cosine_hemisphere_distribution(self):
+        rs = np.random.RandomState(0)
+        n = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (4096, 1))
+        u = jnp.asarray(rs.rand(4096, 2).astype(np.float32))
+        d = np.asarray(sampling.cosine_hemisphere(n, u))
+        assert (d[:, 2] > -1e-6).all()  # upper hemisphere
+        # mean cos should be ~2/3 for cosine weighting
+        assert abs(d[:, 2].mean() - 2 / 3) < 0.02
+        assert np.allclose(np.linalg.norm(d, axis=-1), 1.0, atol=1e-5)
+
+    def test_onb_orthonormal(self):
+        rs = np.random.RandomState(1)
+        n = rs.randn(100, 3)
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        t, b = sampling.build_onb(jnp.asarray(n.astype(np.float32)))
+        t, b = np.asarray(t), np.asarray(b)
+        assert np.abs((t * n).sum(-1)).max() < 1e-5
+        assert np.abs((t * b).sum(-1)).max() < 1e-5
+        assert np.allclose(np.linalg.norm(t, axis=-1), 1, atol=1e-5)
+
+    def test_sphere_light_sample_hits_sphere(self):
+        p = jnp.zeros((256, 3))
+        center = jnp.asarray([0.0, 5.0, 0.0])
+        rs = np.random.RandomState(2)
+        u = jnp.asarray(rs.rand(256, 2).astype(np.float32))
+        d, pdf, dist = sampling.sphere_light_sample(p, center, 1.0, u)
+        from idkengine_tpu.ops.intersect import ray_sphere
+
+        hit, t = ray_sphere(p, d, center, 1.0)
+        assert np.asarray(hit).all()
+        assert (np.asarray(pdf) > 0).all()
+
+    def test_refract_tir(self):
+        d = jnp.asarray([[0.99, -0.141, 0.0]])
+        d = d / jnp.linalg.norm(d)
+        n = jnp.asarray([[0.0, 1.0, 0.0]])
+        out, tir = sampling.refract(d, n, jnp.asarray([1.5]))  # dense->sparse grazing
+        assert bool(tir[0])  # total internal reflection
+
+
+class TestShading:
+    def test_bsdf_energy_reasonable(self):
+        rs = np.random.RandomState(3)
+        r = 512
+        d = jnp.asarray(np.tile([0, 0, -1.0], (r, 1)).astype(np.float32))
+        n = jnp.asarray(np.tile([0, 0, 1.0], (r, 1)).astype(np.float32))
+        alb = jnp.full((r, 3), 0.8)
+        surf = shading.sample_bsdf(
+            d, n, alb, jnp.zeros(r), jnp.ones(r), jnp.zeros(r), jnp.full(r, 1.5),
+            jnp.zeros(r, bool), jnp.asarray(rs.rand(r).astype(np.float32)),
+            jnp.asarray(rs.rand(r, 2).astype(np.float32)),
+        )
+        tp = np.asarray(surf.throughput_mul)
+        assert tp.max() <= 1.0 + 1e-5  # energy-proportional lobes never amplify
+        # sampled dirs in the upper hemisphere for opaque diffuse
+        assert (np.asarray(surf.direction)[:, 2] > -0.3).mean() > 0.95
+
+    def test_ggx_reciprocal_positive(self):
+        n = jnp.asarray([[0.0, 0.0, 1.0]])
+        v = jnp.asarray([[0.5, 0.0, 0.8]])
+        l = jnp.asarray([[-0.5, 0.0, 0.8]])
+        f = shading.ggx_brdf(n, v, l, jnp.full((1, 3), 0.5), jnp.zeros(1), jnp.full(1, 0.5))
+        assert (np.asarray(f) >= 0).all()
+
+
+class TestCamera:
+    def test_rays_through_center(self):
+        cam = Camera(position=np.zeros(3, np.float32), yaw=-90.0, pitch=0.0)
+        params = cam.ray_params(64, 64)
+        o, d = generate_rays(params, 64, 64, jnp.full((64 * 64, 2), 0.5))
+        center = np.asarray(d[32 * 64 + 32])
+        np.testing.assert_allclose(center, [0, 0, -1], atol=0.03)
+
+    def test_thin_lens_spreads_origins(self):
+        cam = Camera(lens_radius=0.5, focal_distance=10.0)
+        params = cam.ray_params(32, 32)
+        rs = np.random.RandomState(4)
+        o, d = generate_rays(
+            params, 32, 32, jnp.full((1024, 2), 0.5),
+            jnp.asarray(rs.rand(1024, 2).astype(np.float32)),
+        )
+        assert float(jnp.std(o[:, 0])) > 0.05
+
+
+class TestPost:
+    def test_tonemap_range(self):
+        img = jnp.asarray(np.random.RandomState(5).rand(16, 16, 3).astype(np.float32) * 50)
+        out = np.asarray(tonemap(img))
+        assert out.min() >= 0.0 and out.max() <= 1.0
+        u8 = to_uint8(out)
+        assert u8.dtype == np.uint8
+
+    def test_tonemap_monotonic_luma(self):
+        vals = jnp.asarray([[[0.1, 0.1, 0.1]], [[1.0, 1.0, 1.0]], [[10.0, 10.0, 10.0]]])
+        out = np.asarray(tonemap(vals))
+        assert out[0, 0, 0] < out[1, 0, 0] < out[2, 0, 0]
+
+    def test_bloom_adds_glow_around_bright(self):
+        img = np.zeros((32, 32, 3), np.float32)
+        img[16, 16] = 50.0
+        b = np.asarray(bloom(jnp.asarray(img), BloomSettings(threshold=1.0)))
+        assert b[16, 18].sum() > 0  # energy spread to neighbors
+        assert b.min() >= 0
+
+    def test_taa_identity_when_static(self):
+        img = jnp.asarray(np.random.RandomState(6).rand(16, 16, 3).astype(np.float32))
+        vel = jnp.zeros((16, 16, 2))
+        depth = jnp.ones((16, 16))
+        out = taa_resolve(img, img, vel, depth, TaaSettings(blend=0.1))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=1e-3)
+
+    def test_denoiser_reduces_noise(self):
+        rs = np.random.RandomState(7)
+        clean = np.full((32, 32, 3), 0.5, np.float32)
+        noisy = clean + rs.randn(32, 32, 3).astype(np.float32) * 0.2
+        alb = np.ones((32, 32, 3), np.float32)
+        nrm = np.tile([0, 0, 1.0], (32, 32, 1)).astype(np.float32)
+        dep = np.ones((32, 32), np.float32)
+        out = np.asarray(
+            atrous_denoise(jnp.asarray(noisy), jnp.asarray(alb), jnp.asarray(nrm), jnp.asarray(dep))
+        )
+        assert out.std() < noisy.std() * 0.5
+        assert abs(out.mean() - noisy.mean()) < 0.02  # energy preserved
+
+
+class TestVxgi:
+    def test_voxelize_and_cone_trace(self):
+        from idkengine_tpu.render.vxgi import VoxelGrid, VxgiSettings
+        from idkengine_tpu.scene.procedural import cornell_box
+        from idkengine_tpu.scene.scene_db import SceneDatabase
+
+        db = SceneDatabase()
+        db.add_model(cornell_box(emissive_quad=False))
+        db.build()
+        db.lights.add([278, 480, 279.5], [6, 6, 6], radius=45.0)
+        lights = {k: jnp.asarray(v) for k, v in db.lights.soa().items() if k != "count"}
+        mats = {k: jnp.asarray(v) for k, v in db.materials.soa().items()}
+        g = VoxelGrid(
+            db.blas.nodes["min"][0], db.blas.nodes["max"][0],
+            VxgiSettings(resolution=16, cones=2, max_samples=1 << 12),
+        )
+        grid = g.voxelize(db.device_scene, mats, lights, 1)
+        assert float(jnp.sum(grid[..., 3])) > 0  # some voxels filled
+        # cone trace from the floor center gets some bounce light
+        gi = g.cone_trace(jnp.asarray([[278.0, 10.0, 280.0]] * 4), jnp.asarray([[0.0, 1.0, 0.0]] * 4))
+        assert gi.shape == (4, 3)
+        assert float(gi.sum()) >= 0
+
+
+class TestAux:
+    def test_recorder_roundtrip(self, tmp_path):
+        from idkengine_tpu.recorder import StateRecorder
+
+        cam = Camera()
+        rec = StateRecorder()
+        for i in range(4):
+            cam.yaw += 5
+            rec.record(cam, i * 0.1)
+        p = str(tmp_path / "r.frd")
+        rec.save(p)
+        rec2 = StateRecorder.load(p)
+        assert len(rec2.frames) == 4
+        assert rec2.frames[3].yaw == cam.yaw
+
+    def test_collision_slides_on_floor(self):
+        from idkengine_tpu.collision import scene_vs_moving_sphere
+        from idkengine_tpu.scene.procedural import make_box
+        from idkengine_tpu.scene.model import MeshPrimitive, Model, Node
+        from idkengine_tpu.scene.scene_db import SceneDatabase
+
+        model = Model()
+        v, i = make_box([0, -0.5, 0], [40, 1, 40])
+        model.primitives = [MeshPrimitive(positions=v, indices=i)]
+        model.primitives[0].ensure_normals()
+        model.nodes = [Node(mesh_primitives=[0])]
+        model.root_nodes = [0]
+        db = SceneDatabase()
+        db.add_model(model)
+        db.build()
+        # sphere moving diagonally down into the floor must stay above it
+        pos = scene_vs_moving_sphere(
+            db, np.array([0, 2.0, 0], np.float32), np.array([1.0, -4.0, 0], np.float32), 0.5
+        )
+        assert pos[1] >= 0.45  # rests on the floor (radius 0.5 - eps)
+        assert pos[0] > 0.3  # slid forward
+
+    def test_hdr_loader(self):
+        from idkengine_tpu.scene.hdr import load_hdr
+
+        img = load_hdr(
+            "/root/reference/IDKEngine/Resource/Textures/EnvironmentMap/snow_field_puresky_1k.hdr"
+        )
+        assert img.shape == (512, 1024, 3)
+        assert img.dtype == np.float32
+        assert 0.1 < img.mean() < 5.0
+
+    def test_atmosphere_sane(self):
+        from idkengine_tpu.render.sky import compute_atmosphere
+
+        sky = compute_atmosphere(32, 16)
+        assert not np.isnan(sky).any()
+        assert sky.min() >= 0
+
+
+class TestDynamics:
+    def test_skinning_identity(self):
+        from idkengine_tpu.scene.skinning import skin_positions
+
+        rs = np.random.RandomState(8)
+        pos = jnp.asarray(rs.randn(64, 3).astype(np.float32))
+        joints = jnp.zeros((64, 4), jnp.int32)
+        weights = jnp.asarray(np.tile([1.0, 0, 0, 0], (64, 1)).astype(np.float32))
+        jm = jnp.eye(4)[None]
+        out = skin_positions(pos, joints, weights, jm)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(pos), atol=1e-5)
+
+    def test_animation_sampler_step_linear(self):
+        from idkengine_tpu.scene.animation import sample
+        from idkengine_tpu.scene.model import AnimationSampler
+
+        times = np.array([0.0, 1.0, 2.0], np.float32)
+        vals = np.array([[0.0], [10.0], [20.0]], np.float32)
+        lin = AnimationSampler(times, vals, "LINEAR")
+        stp = AnimationSampler(times, vals, "STEP")
+        assert sample(lin, 0.5)[0] == pytest.approx(5.0)
+        assert sample(stp, 0.5)[0] == pytest.approx(0.0)
+        assert sample(lin, 5.0)[0] == pytest.approx(20.0)  # clamp
