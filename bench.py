@@ -31,7 +31,7 @@ def main():
     height = int(os.environ.get("IDK_BENCH_RES_H", 1080))
     depth = int(os.environ.get("IDK_BENCH_DEPTH", 2))  # primary + bounce
     tile = int(os.environ.get("IDK_BENCH_TILE", 0))
-    sort_rays = bool(int(os.environ.get("IDK_BENCH_SORT", "0")))
+    sort_rays = bool(int(os.environ.get("IDK_BENCH_SORT", "1")))
 
     from idkengine_tpu.bvh.builder import BuildSettings
 

@@ -40,7 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .trace import Hit
 
-PACKET = 1024  # 8 sublanes x 128 lanes
+PACKET_ROWS = int(__import__('os').environ.get('IDK_PACKET_ROWS', '8'))
+PACKET = PACKET_ROWS * 128  # rays per packet (rows x 128 lanes)
 MAX_LEAF_PACKET = 12  # triangles per leaf row (12*9=108 lanes used)
 STACK_DEPTH = 128
 # VMEM budget for the resident pair+leaf tables (the ray blocks, outputs and
@@ -323,9 +324,9 @@ def _make_kernel(any_hit: bool):
         sp0 = jnp.where(any_root, jnp.int32(1), jnp.int32(0))
 
         t0 = t_max
-        slot0 = jnp.full((8, 128), -1, jnp.int32)
-        u0 = jnp.zeros((8, 128), jnp.float32)
-        v0 = jnp.zeros((8, 128), jnp.float32)
+        slot0 = jnp.full((PACKET_ROWS, 128), -1, jnp.int32)
+        u0 = jnp.zeros((PACKET_ROWS, 128), jnp.float32)
+        v0 = jnp.zeros((PACKET_ROWS, 128), jnp.float32)
 
         def cond(c):
             return c[0] > 0
@@ -454,7 +455,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
     r = o.shape[0]
     assert r % PACKET == 0, f"ray count {r} must be a multiple of {PACKET}"
     n_pk = r // PACKET
-    shape8 = (n_pk * 8, 128)
+    shape8 = (n_pk * PACKET_ROWS, 128)
     ox = o[:, 0].reshape(shape8)
     oy = o[:, 1].reshape(shape8)
     oz = o[:, 2].reshape(shape8)
@@ -463,7 +464,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
     dz = d[:, 2].reshape(shape8)
     tm = t_max.reshape(shape8)
 
-    ray_spec = pl.BlockSpec((8, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
 
     out_shapes = [
@@ -495,12 +496,17 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
     )
 
 
+# test hook: force interpreter mode (Mosaic kernels cannot compile on CPU)
+FORCE_INTERPRET = False
+
+
 @partial(jax.jit, static_argnames=("interpret",))
 def packet_trace_closest(ps: PacketScene, o, d, t_max, interpret: bool = False) -> Hit:
     """Closest-hit packet trace. o/d: (R,3), R multiple of 1024."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
-    return _pallas_trace(ps, o, d, t_max.astype(jnp.float32), False, interpret)
+    return _pallas_trace(ps, o, d, t_max.astype(jnp.float32), False,
+                         interpret or FORCE_INTERPRET)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -508,5 +514,6 @@ def packet_trace_any(ps: PacketScene, o, d, t_max, interpret: bool = False):
     """Occlusion packet trace: True where something closer than t_max."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
-    hit = _pallas_trace(ps, o, d, t_max.astype(jnp.float32), True, interpret)
+    hit = _pallas_trace(ps, o, d, t_max.astype(jnp.float32), True,
+                        interpret or FORCE_INTERPRET)
     return hit.slot >= 0

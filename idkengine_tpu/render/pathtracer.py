@@ -141,6 +141,12 @@ class PathTracer:
         self.height = height
         self.settings = settings or PathTracerSettings()
         self.env_map = None if env_map is None else jnp.asarray(env_map, jnp.float32)
+        # skip atlas gathers entirely for factor-only material sets
+        self._has_textures = bool(
+            np.any(np.asarray(materials.get("base_layer", [-1])) >= 0)
+            or np.any(np.asarray(materials.get("mr_layer", [-1])) >= 0)
+            or np.any(np.asarray(materials.get("emissive_layer", [-1])) >= 0)
+        )
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
         self.accumulated_samples = 0
         self._frame = 0
@@ -191,13 +197,6 @@ class PathTracer:
 
         def _closest(o_, d_, t_max_, sort_key):
             if use_packet:
-                if s.do_ray_sorting and sort_key is not None:
-                    perm = jnp.argsort(sort_key)
-                    inv = jnp.argsort(perm)
-                    h = packet_trace_closest(
-                        self.packet_scene, o_[perm], d_[perm], t_max_[perm]
-                    )
-                    return jax.tree_util.tree_map(lambda a: a[inv], h)
                 return packet_trace_closest(self.packet_scene, o_, d_, t_max_)
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
 
@@ -206,10 +205,41 @@ class PathTracer:
                 return packet_trace_any(self.packet_scene, o_, d_, t_max_)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
+        def _ray_sort_key(o_, d_):
+            # direction octant (3 bits) then quantized-origin Morton-ish key:
+            # groups bounce rays into spatially+directionally coherent packets
+            oct_ = (
+                (d_[:, 0] >= 0).astype(jnp.int32)
+                + 2 * (d_[:, 1] >= 0).astype(jnp.int32)
+                + 4 * (d_[:, 2] >= 0).astype(jnp.int32)
+            )
+            q = jnp.clip(
+                (o_ - scene_lo) / jnp.maximum(scene_ext, 1e-6) * 32.0, 0.0, 31.0
+            ).astype(jnp.int32)
+            cell = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
+            return (oct_ << 15) | cell
+
+        scene_lo = scene.node_min[0]
+        scene_ext = scene.node_max[0] - scene.node_min[0]
+
+        # pixel id travels with the rays: when sorting is on, the WHOLE ray
+        # state is permuted once per bounce and STAYS sorted (shadow rays and
+        # later bounces inherit the coherence); radiance is unscrambled once
+        # at the end (the reference's counting-sort also re-orders in place,
+        # PathTracer.cs:273-297)
+        pixel_of = jnp.arange(r, dtype=jnp.int32)
+
         for bounce in range(s.ray_depth):
+            if s.do_ray_sorting and bounce > 0 and use_packet:
+                perm = jnp.argsort(_ray_sort_key(o, d))
+                o, d = o[perm], d[perm]
+                radiance, throughput = radiance[perm], throughput[perm]
+                alive, inside = alive[perm], inside[perm]
+                prev_slot, last_delta = prev_slot[perm], last_delta[perm]
+                state, pixel_of = state[perm], pixel_of[perm]
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
-            sort_key = prev_slot if bounce > 0 else None
+            sort_key = _ray_sort_key(o, d) if bounce > 0 else None
             hit = _closest(o, d, t_max, sort_key)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
@@ -261,14 +291,19 @@ class PathTracer:
             )
             mat_id = scene.tri_mat[slot]
             base = mats["base_color"][mat_id]
-            tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
-            albedo = base[..., :3] * tex[..., :3]
-            mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
-            metallic = mats["metallic"][mat_id] * mr_tex[..., 2]
-            roughness = mats["roughness"][mat_id] * mr_tex[..., 1]
-            emissive = mats["emissive"][mat_id]
-            em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
-            emissive = emissive * em_tex[..., :3]
+            if self._has_textures:
+                tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
+                albedo = base[..., :3] * tex[..., :3]
+                mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
+                metallic = mats["metallic"][mat_id] * mr_tex[..., 2]
+                roughness = mats["roughness"][mat_id] * mr_tex[..., 1]
+                em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
+                emissive = mats["emissive"][mat_id] * em_tex[..., :3]
+            else:
+                albedo = base[..., :3]
+                metallic = mats["metallic"][mat_id]
+                roughness = mats["roughness"][mat_id]
+                emissive = mats["emissive"][mat_id]
             transmission = mats["transmission"][mat_id]
             ior = mats["ior"][mat_id]
             absorb = mats["absorbance"][mat_id]
@@ -350,6 +385,8 @@ class PathTracer:
                 throughput = throughput / p[..., None]
                 alive = alive & survive
 
+        # un-permute accumulated radiance back to pixel order
+        radiance = jnp.zeros_like(radiance).at[pixel_of].set(radiance)
         return radiance, aov_albedo, aov_normal, aov_depth, rays_traced
 
     # ----------------------------------------------------------------
