@@ -40,7 +40,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .trace import Hit
 
-PACKET_ROWS = int(__import__('os').environ.get('IDK_PACKET_ROWS', '8'))
+PACKET_ROWS = int(__import__('os').environ.get('IDK_PACKET_ROWS', '32'))
 PACKET = PACKET_ROWS * 128  # rays per packet (rows x 128 lanes)
 MAX_LEAF_PACKET = 12  # triangles per leaf row (12*9=108 lanes used)
 STACK_DEPTH = 128
@@ -332,7 +332,7 @@ def _make_kernel(any_hit: bool):
             return c[0] > 0
 
         def body(c):
-            sp, t_best, slot, u, v = c
+            sp, t_best, slot, u, v = c[:5]
             sp = sp - 1
             m0 = stack0_ref[sp]
             m1 = stack1_ref[sp]
@@ -394,7 +394,7 @@ def _make_kernel(any_hit: bool):
                         a1 = sl(13).astype(jnp.int32)
                         b0 = sl(14).astype(jnp.int32)
                         b1 = sl(15).astype(jnp.int32)
-                        s = jnp.sum(h0.astype(jnp.int32) + (h1.astype(jnp.int32) << 12))
+                        s = jnp.sum(h0.astype(jnp.int32) + (h1.astype(jnp.int32) << 16))
                         return a0, a1, b0, b1, s
 
                     return inner
@@ -402,8 +402,8 @@ def _make_kernel(any_hit: bool):
                 a0, a1, b0, b1, s = jax.lax.cond(
                     (p & 1) == 0, half(0), half(64), None
                 )
-                n0 = s & 0xFFF
-                n1 = s >> 12
+                n0 = s & 0xFFFF
+                n1 = s >> 16
                 neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
                 both = (n0 > 0) & (n1 > 0)
                 far0 = jnp.where(neg, a0, b0)
@@ -436,13 +436,27 @@ def _make_kernel(any_hit: bool):
                 is_leaf, leaf_case, interior_case, (sp, t_best, slot, u, v)
             )
             if any_hit:
-                all_done = (
-                    jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32)) >= PACKET
-                )
-                sp = jnp.where(all_done, 0, sp)
+                # the cross-lane reduce is expensive — poll for whole-packet
+                # termination only every 16 iterations
+                it = c[5] + 1
+
+                def check(sp):
+                    all_done = (
+                        jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32))
+                        >= PACKET
+                    )
+                    return jnp.where(all_done, 0, sp)
+
+                sp = jax.lax.cond((it & 15) == 0, check, lambda sp: sp, sp)
+                return sp, t_best, slot, u, v, it
             return sp, t_best, slot, u, v
 
-        _, t, slot, u, v = jax.lax.while_loop(cond, body, (sp0, t0, slot0, u0, v0))
+        if any_hit:
+            _, t, slot, u, v, _ = jax.lax.while_loop(
+                cond, body, (sp0, t0, slot0, u0, v0, jnp.int32(0))
+            )
+        else:
+            _, t, slot, u, v = jax.lax.while_loop(cond, body, (sp0, t0, slot0, u0, v0))
         t_ref[:] = t
         slot_ref[:] = slot
         u_ref[:] = u
@@ -453,8 +467,14 @@ def _make_kernel(any_hit: bool):
 
 def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
     r = o.shape[0]
-    assert r % PACKET == 0, f"ray count {r} must be a multiple of {PACKET}"
-    n_pk = r // PACKET
+    pad = (-r) % PACKET
+    if pad:
+        # dead-ray padding (t_max<0 exits the root test immediately)
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    rp = r + pad
+    n_pk = rp // PACKET
     shape8 = (n_pk * PACKET_ROWS, 128)
     ox = o[:, 0].reshape(shape8)
     oy = o[:, 1].reshape(shape8)
@@ -492,7 +512,8 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
         interpret=interpret,
     )(ps.pairs, ps.leaf_geo, ox, oy, oz, dx, dy, dz, tm)
     return Hit(
-        t=t.reshape(r), slot=slot.reshape(r), u=u.reshape(r), v=v.reshape(r)
+        t=t.reshape(rp)[:r], slot=slot.reshape(rp)[:r],
+        u=u.reshape(rp)[:r], v=v.reshape(rp)[:r],
     )
 
 

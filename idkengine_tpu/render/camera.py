@@ -86,10 +86,15 @@ class Camera:
         }
 
 
-def generate_rays(params: dict, width: int, height: int, jitter, lens_u=None):
+def generate_rays(params: dict, width: int, height: int, jitter, lens_u=None,
+                  px=None):
     """Primary ray batch (R=W*H,3). jitter: (2,) or (R,2) subpixel offset in
-    [0,1); lens_u: (R,2) uniforms for thin-lens DoF or None."""
-    px = jnp.arange(width * height, dtype=jnp.int32)
+    [0,1); lens_u: (R,2) uniforms for thin-lens DoF or None; px: optional
+    pixel-id array — ray i belongs to pixel px[i] (tile-swizzled launch
+    order, the TPU analogue of the reference's workgroup swizzle,
+    FirstHit/compute.glsl:236-262)."""
+    if px is None:
+        px = jnp.arange(width * height, dtype=jnp.int32)
     x = (px % width).astype(jnp.float32)
     y = (px // width).astype(jnp.float32)
     jx = jitter[..., 0]

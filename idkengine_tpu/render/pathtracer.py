@@ -90,6 +90,21 @@ def _sample_atlas(atlas, layer, uv):
     return jnp.where(layer[..., None] >= 0, c, jnp.ones_like(c))
 
 
+def tile_swizzle(w: int, h: int, tw: int = 64, th: int = 64) -> np.ndarray:
+    """Pixel launch order permutation: position i in the ray pool holds pixel
+    swz[i]; pixels are laid out tile-by-tile so each traversal packet covers
+    a compact screen tile instead of a 1-pixel-tall strip. TPU analogue of
+    the reference's workgroup swizzle for L2 locality
+    (FirstHit/compute.glsl:236-262); here it shrinks each packet's BVH-node
+    union, which is what the shared-stack kernel traverses."""
+    px = np.arange(w * h, dtype=np.int64)
+    x = px % w
+    y = px // w
+    n_tx = (w + tw - 1) // tw
+    key = (((y // th) * n_tx + (x // tw)) << 24) | ((y % th) * tw + (x % tw))
+    return np.argsort(key, kind="stable").astype(np.int32)
+
+
 def _trace_maybe_tiled(scene, o, d, t_max, settings: PathTracerSettings, sort_key=None):
     """Traversal with optional ray sorting + tiling (the reference's
     counting-sort reorder re-expressed as argsort + coherent tiles)."""
@@ -151,6 +166,9 @@ class PathTracer:
         self.accumulated_samples = 0
         self._frame = 0
         self._compiled = {}
+        swz_np = tile_swizzle(width, height)
+        self._swz = jnp.asarray(swz_np)
+        self._inv_swz = jnp.asarray(np.argsort(swz_np).astype(np.int32))
 
     # -- settings with reset semantics (ref: PathTracer.cs setters) -------
     def set_settings(self, **kw):
@@ -167,13 +185,16 @@ class PathTracer:
         s = self.settings
         w, h = self.width, self.height
         r = w * h
-        pix = jnp.arange(r, dtype=jnp.uint32)
+        use_packet = s.use_packet_tracer and self.packet_scene is not None
+        # tile-swizzled launch order: ray i belongs to pixel swz[i]
+        swz = self._swz if use_packet else jnp.arange(r, dtype=jnp.int32)
+        pix = swz.astype(jnp.uint32)
         state = rng.init_state(pix, frame)
 
         # subpixel jitter + thin lens
         state, u_pix = rng.uniform2(state)
         state, u_lens = rng.uniform2(state)
-        o, d = generate_rays(cam_params, w, h, u_pix, u_lens)
+        o, d = generate_rays(cam_params, w, h, u_pix, u_lens, px=swz)
 
         radiance = jnp.zeros((r, 3), jnp.float32)
         throughput = jnp.ones((r, 3), jnp.float32)
@@ -188,12 +209,6 @@ class PathTracer:
         aov_normal = jnp.zeros((r, 3), jnp.float32)
         aov_depth = jnp.zeros((r,), jnp.float32)
         rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
-
-        use_packet = (
-            s.use_packet_tracer
-            and self.packet_scene is not None
-            and r % PACKET == 0
-        )
 
         def _closest(o_, d_, t_max_, sort_key):
             if use_packet:
@@ -227,7 +242,7 @@ class PathTracer:
         # later bounces inherit the coherence); radiance is unscrambled once
         # at the end (the reference's counting-sort also re-orders in place,
         # PathTracer.cs:273-297)
-        pixel_of = jnp.arange(r, dtype=jnp.int32)
+        pixel_of = swz
 
         for bounce in range(s.ray_depth):
             if s.do_ray_sorting and bounce > 0 and use_packet:
@@ -385,8 +400,17 @@ class PathTracer:
                 throughput = throughput / p[..., None]
                 alive = alive & survive
 
-        # un-permute accumulated radiance back to pixel order
-        radiance = jnp.zeros_like(radiance).at[pixel_of].set(radiance)
+        # un-permute back to pixel order with inverse-permutation GATHERS
+        # (XLA scatter is ~10x slower than gather on TPU). AOVs are written
+        # at bounce 0, before any sort permute, so their inverse is the
+        # static swizzle inverse.
+        sorted_state = s.do_ray_sorting and use_packet and s.ray_depth > 1
+        inv_swz = self._inv_swz if use_packet else jnp.arange(r, dtype=jnp.int32)
+        inv = jnp.argsort(pixel_of) if sorted_state else inv_swz
+        radiance = radiance[inv]
+        aov_albedo = aov_albedo[inv_swz]
+        aov_normal = aov_normal[inv_swz]
+        aov_depth = aov_depth[inv_swz]
         return radiance, aov_albedo, aov_normal, aov_depth, rays_traced
 
     # ----------------------------------------------------------------
