@@ -7,20 +7,22 @@ scalar VMEM loads broadcast into dense (8,128) vector tests — the TPU has no
 fast per-lane gather, so the kernel never gathers; divergence costs masked
 work within a packet and is mitigated by ray sorting upstream.
 
-Data layout (v6):
-  pair table (1+ceil(P/2), 128) f32 — sibling pair p at row 1+(p>>1),
-  lane half (p&1)*64:
+Data layout (v7):
+  pair table (1+ceil(P/8), 128) f32 — sibling pair p at row 1+(p>>3),
+  lane block (p&7)*16:
       [c0.min3, c0.max3, c1.min3, c1.max3, c0.meta0, c0.meta1,
-       c1.meta0, c1.meta1] — 16 lanes used per pair.
+       c1.meta0, c1.meta1] — 16 lanes per pair, 8 pairs per row.
       metas are SMALL NON-NEGATIVE INTS stored exactly as f32 (< 2^24):
-        leaf child:     meta0 = first tri slot, meta1 = count + leaf_row*16
+        leaf child:     meta0 = first tri slot, meta1 = count + leaf_slot*8
         interior child: meta0 = its own pair index*4 + split_axis, meta1 = 0
       children are swapped at build time so c0 is the lower child along the
       pair's dominant axis; traversal orders near/far from the packet's mean
       direction sign — no per-node reductions for ordering.
       Row 0 is a dedicated root record: lanes 0..1 root meta, 2..7 root box.
-  leaf table (L, 128) f32 — triangle k of a leaf at lanes [k*9, +9):
-      p0(3), e1(3), e2(3) — static lanes, read by scalar VMEM loads.
+  leaf table (ceil(L/2), 128) f32 — triangle k of leaf slot s at row s>>1,
+      lanes [(s&1)*54 + k*9, +9): p0(3), e1(3), e2(3) — static lanes read by
+      scalar VMEM loads (max 6 tris per leaf; small leaves keep the Möller
+      loop short, which dominates incoherent packets).
 
 The traversal stack holds (meta0, meta1) of pending subtrees, so a pop needs
 no node fetch: leaves go straight to triangle tests; interiors load exactly
@@ -41,8 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .trace import Hit
 
 PACKET_ROWS = int(__import__('os').environ.get('IDK_PACKET_ROWS', '32'))
-PACKET = PACKET_ROWS * 128  # rays per packet (rows x 128 lanes)
-MAX_LEAF_PACKET = 12  # triangles per leaf row (12*9=108 lanes used)
+PACKET = PACKET_ROWS * 128  # default rays per packet (rows x 128 lanes)
+# bounce rays keep the same packet size as primaries: in-frame measurement
+# shows the shared-stack union barely shrinks with packet size for sorted
+# diffuse-bounce batches, so bigger packets win on scalar-loop amortization
+# (kept as a knob — the tradeoff is scene/sort-quality dependent)
+BOUNCE_ROWS = int(__import__('os').environ.get('IDK_BOUNCE_ROWS', '32'))
+# Triangles per leaf. 12 (one leaf per 128-lane row, 108 lanes) measured
+# faster than 6 (two leaves/row): interior-iteration overhead dominates the
+# packet loop, so fewer+fatter leaves win even for incoherent packets.
+MAX_LEAF_PACKET = 12
+LEAVES_PER_ROW = max(1, 108 // (MAX_LEAF_PACKET * 9))
 STACK_DEPTH = 128
 # VMEM budget for the resident pair+leaf tables (the ray blocks, outputs and
 # double-buffering need the rest of the ~16 MB scoped vmem)
@@ -154,8 +165,8 @@ def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
         f"leaf count {lv.max(initial=0)} exceeds packet capacity "
         f"{MAX_LEAF_PACKET}; build the BLAS with max_leaf <= {MAX_LEAF_PACKET}"
     )
-    leaf_row_of = np.zeros(n, np.int64)
-    leaf_row_of[leaf_ids] = np.arange(leaf_ids.shape[0])
+    leaf_slot_of = np.zeros(n, np.int64)
+    leaf_slot_of[leaf_ids] = np.arange(leaf_ids.shape[0])
 
     # pair index per interior node, addressed by its left-child id
     pair_of = np.full(n + 1, -1, np.int64)
@@ -176,9 +187,9 @@ def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
         counts > 0, firsts.astype(np.float64),
         (pair_of[np.minimum(firsts, n)] * 4 + axis_of).astype(np.float64),
     )
-    meta1 = np.where(counts > 0, (counts + leaf_row_of * 16).astype(np.float64), 0.0)
+    meta1 = np.where(counts > 0, (counts + leaf_slot_of * 16).astype(np.float64), 0.0)
 
-    pr_rows = max((n_pairs + 1) // 2, 1)
+    pr_rows = max((n_pairs + 7) // 8, 1)
     pairs = np.zeros((1 + pr_rows, 128), np.float32)
 
     if n_pairs:
@@ -188,8 +199,8 @@ def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
         c0 = np.where(swap, l_all + 1, l_all)
         c1 = np.where(swap, l_all, l_all + 1)
         pi = np.arange(n_pairs)
-        row = 1 + (pi >> 1)
-        off = (pi & 1) * 64
+        row = 1 + (pi >> 3)
+        off = (pi & 7) * 16
         for j in range(3):
             pairs[row, off + j] = nodes["min"][c0][:, j]
             pairs[row, off + 3 + j] = nodes["max"][c0][:, j]
@@ -207,16 +218,18 @@ def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
     pairs[0, 2:5] = nodes["min"][0]
     pairs[0, 5:8] = nodes["max"][0]
 
-    # leaf geometry (vectorized): one entry per (leaf, k<count)
+    # leaf geometry (vectorized): one entry per (leaf, k<count),
+    # LEAVES_PER_ROW leaves per 128-lane row
     n_leaves = leaf_ids.shape[0]
-    leaf_geo = np.zeros((max(n_leaves, 1), 128), np.float32)
+    lpr = LEAVES_PER_ROW
+    leaf_geo = np.zeros((max((n_leaves + lpr - 1) // lpr, 1), 128), np.float32)
     if n_leaves:
         kk = np.arange(MAX_LEAF_PACKET)
         mask = kk[None, :] < counts[leaf_ids][:, None]  # (L,K)
         li_idx, k_idx = np.nonzero(mask)
         slots = firsts[leaf_ids][li_idx] + k_idx
-        rows_l = li_idx
-        base_l = k_idx * 9
+        rows_l = li_idx // lpr
+        base_l = (li_idx % lpr) * (MAX_LEAF_PACKET * 9) + k_idx * 9
         tri_v = indices[slot_tri_ids[slots].astype(np.int64)]
         p = vertices[tri_v]
         p0 = p[:, 0]
@@ -278,7 +291,8 @@ def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
     return (tf >= tn) & (tn <= t_best), tn
 
 
-def _make_kernel(any_hit: bool):
+def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS):
+    packet = rows * 128
     def kernel(
         pairs_hbm, leaf_hbm,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
@@ -324,9 +338,9 @@ def _make_kernel(any_hit: bool):
         sp0 = jnp.where(any_root, jnp.int32(1), jnp.int32(0))
 
         t0 = t_max
-        slot0 = jnp.full((PACKET_ROWS, 128), -1, jnp.int32)
-        u0 = jnp.zeros((PACKET_ROWS, 128), jnp.float32)
-        v0 = jnp.zeros((PACKET_ROWS, 128), jnp.float32)
+        slot0 = jnp.full((rows, 128), -1, jnp.int32)
+        u0 = jnp.zeros((rows, 128), jnp.float32)
+        v0 = jnp.zeros((rows, 128), jnp.float32)
 
         def cond(c):
             return c[0] > 0
@@ -340,11 +354,14 @@ def _make_kernel(any_hit: bool):
 
             def leaf_case(args):
                 sp, t_best, slot, u, v = args
-                leaf_row = m1 // 16
-                count = m1 - leaf_row * 16
+                leaf_slot = m1 >> 4
+                count = m1 & 15
+                leaf_row = leaf_slot // LEAVES_PER_ROW
                 first = m0
-                for k in range(MAX_LEAF_PACKET):
-                    b = k * 9
+
+                def tri_test(k, st, base):
+                    t_best, slot, u, v = st
+                    b = base + k * 9
                     sl = lambda j: leaf_ref[leaf_row, b + j]
                     p0x, p0y, p0z = sl(0), sl(1), sl(2)
                     e1x, e1y, e1z = sl(3), sl(4), sl(5)
@@ -371,13 +388,33 @@ def _make_kernel(any_hit: bool):
                     slot = jnp.where(ok, first + k, slot)
                     u = jnp.where(ok, uu, u)
                     v = jnp.where(ok, vv, v)
+                    return t_best, slot, u, v
+
+                def run_half(base):
+                    def run(st):
+                        for k in range(MAX_LEAF_PACKET):
+                            st = tri_test(k, st, base)
+                        return st
+
+                    return run
+
+                if LEAVES_PER_ROW == 1:
+                    t_best, slot, u, v = run_half(0)((t_best, slot, u, v))
+                else:
+                    # lane offsets must be static: branch on the row slot
+                    t_best, slot, u, v = jax.lax.switch(
+                        leaf_slot % LEAVES_PER_ROW,
+                        [run_half(k * MAX_LEAF_PACKET * 9)
+                         for k in range(LEAVES_PER_ROW)],
+                        (t_best, slot, u, v),
+                    )
                 return sp, t_best, slot, u, v
 
             def interior_case(args):
                 sp, t_best, slot, u, v = args
                 axis = m0 & 3
                 p = m0 >> 2
-                row = 1 + (p >> 1)
+                row = 1 + (p >> 3)
 
                 def half(off):
                     def inner(_):
@@ -399,8 +436,9 @@ def _make_kernel(any_hit: bool):
 
                     return inner
 
-                a0, a1, b0, b1, s = jax.lax.cond(
-                    (p & 1) == 0, half(0), half(64), None
+                # 8 pairs per 128-lane row (lane offsets must be static)
+                a0, a1, b0, b1, s = jax.lax.switch(
+                    p & 7, [half(k * 16) for k in range(8)], None
                 )
                 n0 = s & 0xFFFF
                 n1 = s >> 16
@@ -443,7 +481,7 @@ def _make_kernel(any_hit: bool):
                 def check(sp):
                     all_done = (
                         jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32))
-                        >= PACKET
+                        >= packet
                     )
                     return jnp.where(all_done, 0, sp)
 
@@ -465,17 +503,19 @@ def _make_kernel(any_hit: bool):
     return kernel
 
 
-def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
+def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
+                  rows: int = PACKET_ROWS):
     r = o.shape[0]
-    pad = (-r) % PACKET
+    packet = rows * 128
+    pad = (-r) % packet
     if pad:
         # dead-ray padding (t_max<0 exits the root test immediately)
         o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
         d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
         t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
     rp = r + pad
-    n_pk = rp // PACKET
-    shape8 = (n_pk * PACKET_ROWS, 128)
+    n_pk = rp // packet
+    shape8 = (n_pk * rows, 128)
     ox = o[:, 0].reshape(shape8)
     oy = o[:, 1].reshape(shape8)
     oz = o[:, 2].reshape(shape8)
@@ -484,7 +524,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
     dz = d[:, 2].reshape(shape8)
     tm = t_max.reshape(shape8)
 
-    ray_spec = pl.BlockSpec((PACKET_ROWS, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
 
     out_shapes = [
@@ -494,7 +534,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
         jax.ShapeDtypeStruct(shape8, jnp.float32),
     ]
     t, slot, u, v = pl.pallas_call(
-        _make_kernel(any_hit),
+        _make_kernel(any_hit, rows),
         grid=(n_pk,),
         in_specs=[
             hbm(), hbm(),
@@ -521,20 +561,22 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool):
 FORCE_INTERPRET = False
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def packet_trace_closest(ps: PacketScene, o, d, t_max, interpret: bool = False) -> Hit:
-    """Closest-hit packet trace. o/d: (R,3), R multiple of 1024."""
+@partial(jax.jit, static_argnames=("interpret", "rows"))
+def packet_trace_closest(ps: PacketScene, o, d, t_max, interpret: bool = False,
+                         rows: int = PACKET_ROWS) -> Hit:
+    """Closest-hit packet trace. o/d: (R,3); rows*128-ray packets."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
     return _pallas_trace(ps, o, d, t_max.astype(jnp.float32), False,
-                         interpret or FORCE_INTERPRET)
+                         interpret or FORCE_INTERPRET, rows)
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def packet_trace_any(ps: PacketScene, o, d, t_max, interpret: bool = False):
+@partial(jax.jit, static_argnames=("interpret", "rows"))
+def packet_trace_any(ps: PacketScene, o, d, t_max, interpret: bool = False,
+                     rows: int = PACKET_ROWS):
     """Occlusion packet trace: True where something closer than t_max."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
     hit = _pallas_trace(ps, o, d, t_max.astype(jnp.float32), True,
-                        interpret or FORCE_INTERPRET)
+                        interpret or FORCE_INTERPRET, rows)
     return hit.slot >= 0

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.intersect import ray_sphere
-from ..ops.packet_trace import PACKET, packet_trace_any, packet_trace_closest
+from ..ops.packet_trace import (
+    BOUNCE_ROWS, PACKET, PACKET_ROWS, packet_trace_any, packet_trace_closest)
 from ..ops.trace import SceneArrays, trace_any, trace_closest
 from ..utils import rng
 from ..utils.compression import decompress_normal
@@ -169,6 +170,23 @@ class PathTracer:
         swz_np = tile_swizzle(width, height)
         self._swz = jnp.asarray(swz_np)
         self._inv_swz = jnp.asarray(np.argsort(swz_np).astype(np.int32))
+        # packed per-hit attribute tables: one wide gather instead of six
+        # (TPU gathers are latency-bound per row)
+        self._attr_f = jnp.concatenate(
+            [jnp.asarray(scene.tri_uv).reshape(-1, 6),
+             jnp.asarray(scene.tri_gn)], axis=-1,
+        )
+        self._attr_i = jnp.concatenate(
+            [jnp.asarray(scene.tri_n).astype(jnp.int32),
+             jnp.asarray(scene.tri_mat)[:, None].astype(jnp.int32)], axis=-1,
+        )
+        m = self.mats
+        self._mat_f = jnp.concatenate(
+            [m["base_color"][:, :3], m["emissive"],
+             m["metallic"][:, None], m["roughness"][:, None],
+             m["transmission"][:, None], m["ior"][:, None],
+             m["absorbance"]], axis=-1,
+        ).astype(jnp.float32)
 
     # -- settings with reset semantics (ref: PathTracer.cs setters) -------
     def set_settings(self, **kw):
@@ -210,14 +228,16 @@ class PathTracer:
         aov_depth = jnp.zeros((r,), jnp.float32)
         rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
 
-        def _closest(o_, d_, t_max_, sort_key):
+        def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
             if use_packet:
-                return packet_trace_closest(self.packet_scene, o_, d_, t_max_)
+                return packet_trace_closest(self.packet_scene, o_, d_, t_max_,
+                                            rows=rows)
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
 
-        def _occluded(o_, d_, t_max_):
+        def _occluded(o_, d_, t_max_, rows=PACKET_ROWS):
             if use_packet:
-                return packet_trace_any(self.packet_scene, o_, d_, t_max_)
+                return packet_trace_any(self.packet_scene, o_, d_, t_max_,
+                                        rows=rows)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
         def _ray_sort_key(o_, d_):
@@ -246,16 +266,36 @@ class PathTracer:
 
         for bounce in range(s.ray_depth):
             if s.do_ray_sorting and bounce > 0 and use_packet:
-                perm = jnp.argsort(_ray_sort_key(o, d))
-                o, d = o[perm], d[perm]
-                radiance, throughput = radiance[perm], throughput[perm]
-                alive, inside = alive[perm], inside[perm]
-                prev_slot, last_delta = prev_slot[perm], last_delta[perm]
-                state, pixel_of = state[perm], pixel_of[perm]
+                # TPU gathers are latency-bound per ROW, not per byte: pack
+                # the whole travelling ray state into ONE wide array so the
+                # per-bounce sort costs one gather instead of ten
+                # dead rays (stale o/d) sort to the end: packets become
+                # either fully alive or fully dead, and dead packets exit at
+                # the root test in one iteration
+                perm = jnp.argsort(jnp.where(
+                    alive, _ray_sort_key(o, d), jnp.int32(0x7FFFFFFF)))
+                packed = jnp.concatenate(
+                    [o, d, radiance, throughput], axis=-1)[perm]
+                flags = (
+                    alive.astype(jnp.int32)
+                    | (inside.astype(jnp.int32) << 1)
+                    | (last_delta.astype(jnp.int32) << 2)
+                )
+                ipacked = jnp.stack(
+                    [flags, state.astype(jnp.int32), pixel_of], axis=-1)[perm]
+                o, d = packed[:, 0:3], packed[:, 3:6]
+                radiance, throughput = packed[:, 6:9], packed[:, 9:12]
+                flags = ipacked[:, 0]
+                alive = (flags & 1) != 0
+                inside = (flags & 2) != 0
+                last_delta = (flags & 4) != 0
+                state = ipacked[:, 1].astype(jnp.uint32)
+                pixel_of = ipacked[:, 2]
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = _ray_sort_key(o, d) if bounce > 0 else None
-            hit = _closest(o, d, t_max, sort_key)
+            trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
+            hit = _closest(o, d, t_max, sort_key, rows=trace_rows)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -284,44 +324,47 @@ class PathTracer:
                 count_hit = hit_light & (last_delta | (not s.nee))
                 radiance = radiance + jnp.where(count_hit[..., None], throughput * l_emit, 0.0)
 
-            # -- surface hit: shade
+            # -- surface hit: shade. Hit-attribute fetch = TWO wide gathers
+            # from pre-packed tables (TPU gathers cost per row, not per
+            # byte), then one material-table gather.
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            n0 = decompress_normal(scene.tri_n[slot, 0], jnp)
-            n1 = decompress_normal(scene.tri_n[slot, 1], jnp)
-            n2 = decompress_normal(scene.tri_n[slot, 2], jnp)
+            af = self._attr_f[slot]  # (R,9): uv0,uv1,uv2 (6), gn (3)
+            ai = self._attr_i[slot]  # (R,4): n0,n1,n2 compressed, mat_id
+            n0 = decompress_normal(ai[:, 0].astype(jnp.uint32), jnp)
+            n1 = decompress_normal(ai[:, 1].astype(jnp.uint32), jnp)
+            n2 = decompress_normal(ai[:, 2].astype(jnp.uint32), jnp)
             ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
             ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
-            gn = scene.tri_gn[slot]
+            gn = af[:, 6:9]
             # face-forward against incoming ray
             flip = jnp.sum(gn * d, axis=-1) > 0.0
             gn = jnp.where(flip[..., None], -gn, gn)
             ns = jnp.where(jnp.sum(ns * gn, axis=-1, keepdims=True) < 0.0, -ns, ns)
 
             uv = (
-                scene.tri_uv[slot, 0] * w_b[..., None]
-                + scene.tri_uv[slot, 1] * u_b[..., None]
-                + scene.tri_uv[slot, 2] * v_b[..., None]
+                af[:, 0:2] * w_b[..., None]
+                + af[:, 2:4] * u_b[..., None]
+                + af[:, 4:6] * v_b[..., None]
             )
-            mat_id = scene.tri_mat[slot]
-            base = mats["base_color"][mat_id]
+            mat_id = ai[:, 3]
+            mf = self._mat_f[mat_id]  # (R,13) packed material factors
+            albedo = mf[:, 0:3]
+            emissive = mf[:, 3:6]
+            metallic = mf[:, 6]
+            roughness = mf[:, 7]
+            transmission = mf[:, 8]
+            ior = mf[:, 9]
+            absorb = mf[:, 10:13]
             if self._has_textures:
                 tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
-                albedo = base[..., :3] * tex[..., :3]
+                albedo = albedo * tex[..., :3]
                 mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
-                metallic = mats["metallic"][mat_id] * mr_tex[..., 2]
-                roughness = mats["roughness"][mat_id] * mr_tex[..., 1]
+                metallic = metallic * mr_tex[..., 2]
+                roughness = roughness * mr_tex[..., 1]
                 em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
-                emissive = mats["emissive"][mat_id] * em_tex[..., :3]
-            else:
-                albedo = base[..., :3]
-                metallic = mats["metallic"][mat_id]
-                roughness = mats["roughness"][mat_id]
-                emissive = mats["emissive"][mat_id]
-            transmission = mats["transmission"][mat_id]
-            ior = mats["ior"][mat_id]
-            absorb = mats["absorbance"][mat_id]
+                emissive = emissive * em_tex[..., :3]
 
             if bounce == 0:
                 aov_albedo = jnp.where(hit_tri[..., None], albedo, aov_albedo)
@@ -342,7 +385,19 @@ class PathTracer:
             # (solid-angle sampling, ref: Sampling.glsl + the RT-shadows
             # kernel ShadowsRayTraced/compute.glsl:49-125)
             if s.nee and s.light_spheres and self.n_lights > 0:
-                state, u_pick = rng.uniform(state)
+                if use_packet and self.n_lights > 1:
+                    # pick the light PER PACKET, not per ray: every ray in a
+                    # traversal packet aims at the same light so the shadow
+                    # packet's node union stays small (stratified by packet
+                    # id + bounce + frame, still unbiased: pdf = 1/n_lights)
+                    pk_id = jnp.arange(r, dtype=jnp.uint32) // (trace_rows * 128)
+                    u_pick = rng.to_float01(rng.pcg_hash(
+                        pk_id * jnp.uint32(9781)
+                        ^ jnp.asarray(frame, jnp.uint32) * jnp.uint32(2654435761)
+                        ^ jnp.uint32(bounce * 0x9E3779B9)
+                    ))
+                else:
+                    state, u_pick = rng.uniform(state)
                 li = jnp.minimum(
                     (u_pick * self.n_lights).astype(jnp.int32), self.n_lights - 1
                 )
@@ -358,7 +413,8 @@ class PathTracer:
                 do_nee = hit_tri & (cos_s > 0.0) & sh_hit
                 rays_traced = rays_traced + jnp.sum(do_nee.astype(jnp.float32))
                 sh_tmax = jnp.where(do_nee, sh_t - 2.0 * eps_o, -1.0)
-                occluded = _occluded(hp_point + gn * eps_o[..., None], ldir, sh_tmax)
+                occluded = _occluded(hp_point + gn * eps_o[..., None], ldir,
+                                     sh_tmax, rows=trace_rows)
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)
@@ -408,9 +464,9 @@ class PathTracer:
         inv_swz = self._inv_swz if use_packet else jnp.arange(r, dtype=jnp.int32)
         inv = jnp.argsort(pixel_of) if sorted_state else inv_swz
         radiance = radiance[inv]
-        aov_albedo = aov_albedo[inv_swz]
-        aov_normal = aov_normal[inv_swz]
-        aov_depth = aov_depth[inv_swz]
+        aovs = jnp.concatenate(
+            [aov_albedo, aov_normal, aov_depth[:, None]], axis=-1)[inv_swz]
+        aov_albedo, aov_normal, aov_depth = aovs[:, 0:3], aovs[:, 3:6], aovs[:, 6]
         return radiance, aov_albedo, aov_normal, aov_depth, rays_traced
 
     # ----------------------------------------------------------------

@@ -40,7 +40,7 @@ class TestCollapse:
     def test_collapse_preserves_coverage(self):
         verts, idx = _merge(atrium(5000))
         b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
-        merged, _ = _collapse_leaves(b.nodes, 12)
+        merged, _ = _collapse_leaves(b.nodes, MAX_LEAF_PACKET)
         # all original tri slots still referenced exactly once-ish (ranges)
         leaf = merged["count"] > 0
         total = int(merged["count"][leaf].sum())
@@ -56,7 +56,7 @@ class TestCollapse:
         verts, idx = _merge(atrium(5000))
         b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=4))
         before = int((b.nodes["count"] > 0).sum())
-        merged, _ = _collapse_leaves(b.nodes, 12)
+        merged, _ = _collapse_leaves(b.nodes, MAX_LEAF_PACKET)
         after = int((merged["count"] > 0).sum())
         assert after < before
 
@@ -95,6 +95,22 @@ class TestPacketTrace:
         for i in range(0, R, 29):
             cpu = b.intersect_ray(o[i], d[i], t_cut)
             assert bool(occ[i]) == (cpu is not None)
+
+    def test_rows_param_equivalent(self, cornell_setup):
+        # packet size is a perf knob only — results must be identical
+        b, ps = cornell_setup
+        rs = np.random.RandomState(5)
+        R = 2048
+        o = (b.vertices.mean(0) + rs.randn(R, 3) * 300).astype(np.float32)
+        d = rs.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        tm = jnp.full((R,), 1e30, jnp.float32)
+        h8 = packet_trace_closest(ps, jnp.asarray(o), jnp.asarray(d), tm,
+                                  interpret=True, rows=8)
+        h16 = packet_trace_closest(ps, jnp.asarray(o), jnp.asarray(d), tm,
+                                   interpret=True, rows=16)
+        np.testing.assert_array_equal(np.asarray(h8.slot), np.asarray(h16.slot))
+        np.testing.assert_allclose(np.asarray(h8.t), np.asarray(h16.t), rtol=1e-6)
 
     def test_dead_rays_ignored(self, cornell_setup):
         _, ps = cornell_setup
