@@ -20,7 +20,7 @@ from . import sampling, shading
 
 @dataclass(frozen=True)
 class DeferredSettings:
-    shadow_mode: str = "ray_traced"  # none | ray_traced (ref: None/PCF/RT)
+    shadow_mode: str = "ray_traced"  # none | pcf | ray_traced (ref modes)
     shadow_samples: int = 1
     ambient: float = 0.03  # flat ambient when VXGI is off (ref: Impl.glsl)
 
@@ -28,10 +28,12 @@ class DeferredSettings:
 def shade_deferred(gbuf, lights, n_lights: int, cam_origin, occlusion_fn,
                    settings: DeferredSettings = DeferredSettings(),
                    gi: jnp.ndarray | None = None, ao: jnp.ndarray | None = None,
-                   frame=0):
+                   frame=0, pcf_fn=None):
     """Direct lighting for every G-buffer pixel.
 
     occlusion_fn(o, d, t_max) -> bool occluded, or None for unshadowed;
+    pcf_fn(light_index, points) -> visibility in [0,1] for shadow_mode
+    "pcf" (cube shadow maps, render/shadowmap.py);
     gi: optional (H,W,3) cone-traced indirect; ao: optional (H,W) SSAO."""
     h, w = gbuf.albedo.shape[:2]
     r = h * w
@@ -55,7 +57,9 @@ def shade_deferred(gbuf, lights, n_lights: int, cam_origin, occlusion_fn,
         to_l = l_pos - pos
         dist = jnp.linalg.norm(to_l, axis=-1)
         ldir = to_l / jnp.maximum(dist, 1e-8)[..., None]
-        if settings.shadow_mode == "ray_traced" and occlusion_fn is not None:
+        if settings.shadow_mode == "pcf" and pcf_fn is not None:
+            vis = pcf_fn(li, pos)
+        elif settings.shadow_mode == "ray_traced" and occlusion_fn is not None:
             acc = jnp.zeros((r,), jnp.float32)
             for _ in range(settings.shadow_samples):
                 state, u = rng_mod.uniform2(state)

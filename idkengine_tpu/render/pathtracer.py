@@ -266,31 +266,35 @@ class PathTracer:
 
         for bounce in range(s.ray_depth):
             if s.do_ray_sorting and bounce > 0 and use_packet:
-                # TPU gathers are latency-bound per ROW, not per byte: pack
-                # the whole travelling ray state into ONE wide array so the
-                # per-bounce sort costs one gather instead of ten
-                # dead rays (stale o/d) sort to the end: packets become
-                # either fully alive or fully dead, and dead packets exit at
-                # the root test in one iteration
-                perm = jnp.argsort(jnp.where(
-                    alive, _ray_sort_key(o, d), jnp.int32(0x7FFFFFFF)))
-                packed = jnp.concatenate(
-                    [o, d, radiance, throughput], axis=-1)[perm]
+                # reorder via ONE multi-operand lax.sort: the sort network
+                # moves the payload with the keys, ~5x cheaper than
+                # argsort + XLA gathers on TPU. Dead rays (stale o/d) sort
+                # to the end: packets become either fully alive or fully
+                # dead, and dead packets exit at the root test in one step.
+                keyv = jnp.where(
+                    alive, _ray_sort_key(o, d), jnp.int32(0x7FFFFFFF))
                 flags = (
                     alive.astype(jnp.int32)
                     | (inside.astype(jnp.int32) << 1)
                     | (last_delta.astype(jnp.int32) << 2)
                 )
-                ipacked = jnp.stack(
-                    [flags, state.astype(jnp.int32), pixel_of], axis=-1)[perm]
-                o, d = packed[:, 0:3], packed[:, 3:6]
-                radiance, throughput = packed[:, 6:9], packed[:, 9:12]
-                flags = ipacked[:, 0]
+                (_, ox_, oy_, oz_, dx_, dy_, dz_, r0, r1, r2_, t0, t1, t2,
+                 flags, st_, pixel_of) = jax.lax.sort(
+                    (keyv, o[:, 0], o[:, 1], o[:, 2],
+                     d[:, 0], d[:, 1], d[:, 2],
+                     radiance[:, 0], radiance[:, 1], radiance[:, 2],
+                     throughput[:, 0], throughput[:, 1], throughput[:, 2],
+                     flags, state.astype(jnp.int32), pixel_of),
+                    num_keys=1, is_stable=False,
+                )
+                o = jnp.stack([ox_, oy_, oz_], -1)
+                d = jnp.stack([dx_, dy_, dz_], -1)
+                radiance = jnp.stack([r0, r1, r2_], -1)
+                throughput = jnp.stack([t0, t1, t2], -1)
                 alive = (flags & 1) != 0
                 inside = (flags & 2) != 0
                 last_delta = (flags & 4) != 0
-                state = ipacked[:, 1].astype(jnp.uint32)
-                pixel_of = ipacked[:, 2]
+                state = st_.astype(jnp.uint32)
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = _ray_sort_key(o, d) if bounce > 0 else None
@@ -462,8 +466,15 @@ class PathTracer:
         # static swizzle inverse.
         sorted_state = s.do_ray_sorting and use_packet and s.ray_depth > 1
         inv_swz = self._inv_swz if use_packet else jnp.arange(r, dtype=jnp.int32)
-        inv = jnp.argsort(pixel_of) if sorted_state else inv_swz
-        radiance = radiance[inv]
+        if sorted_state:
+            # one more payload sort restores pixel order
+            _, r0, r1, r2_ = jax.lax.sort(
+                (pixel_of, radiance[:, 0], radiance[:, 1], radiance[:, 2]),
+                num_keys=1, is_stable=False,
+            )
+            radiance = jnp.stack([r0, r1, r2_], -1)
+        else:
+            radiance = radiance[inv_swz]
         aovs = jnp.concatenate(
             [aov_albedo, aov_normal, aov_depth[:, None]], axis=-1)[inv_swz]
         aov_albedo, aov_normal, aov_depth = aovs[:, 0:3], aovs[:, 3:6], aovs[:, 6]

@@ -15,7 +15,7 @@ threshold → bloom → tonemap (ref: PathTracerPipeline auto-denoise
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,7 +24,9 @@ from ..log import get_logger
 from ..ops.packet_trace import PACKET, packet_trace_any, packet_trace_closest
 from ..ops.trace import trace_any, trace_closest
 from ..utils import mathutil as mu
+from . import adaptive as adaptive_mod
 from . import bloom as bloom_mod
+from . import shadowmap as shadowmap_mod
 from . import deferred as deferred_mod
 from . import denoise as denoise_mod
 from . import ssao as ssao_mod
@@ -50,7 +52,11 @@ class DeferredSettings2:
     use_volumetric: bool = False
     use_taa: bool = True
     use_bloom: bool = True
-    shadows: str = "ray_traced"  # none | ray_traced
+    use_oit: bool = False  # depth-peeled transparency (ref: OIT #26)
+    oit_layers: int = 4
+    use_classifier: bool = False  # adaptive-rate map (ref: VRS #29)
+    shadows: str = "ray_traced"  # none | pcf | ray_traced (ref modes)
+    shadow_map_res: int = 256
     vxgi: VxgiSettings = field(default_factory=VxgiSettings)
     deferred: deferred_mod.DeferredSettings = field(
         default_factory=deferred_mod.DeferredSettings
@@ -77,29 +83,24 @@ class DeferredPipeline:
         self.history = None
         self._prev_cam_params = None
         self.voxel_grid = None
+        self._shadow_mgr = None
+        self.rate_map = None
         if self.settings.use_vxgi:
             lo = scene_db.blas.nodes["min"][0] - 0.1
             hi = scene_db.blas.nodes["max"][0] + 0.1
             self.voxel_grid = VoxelGrid(lo, hi, self.settings.vxgi)
 
     # -- trace dispatch ----------------------------------------------------
+    def _use_packet(self):
+        return self.settings.use_packet_tracer and self.db.packet_scene is not None
+
     def _closest(self, o, d, t_max):
-        r = o.shape[0]
-        if (
-            self.settings.use_packet_tracer
-            and self.db.packet_scene is not None
-            and r % PACKET == 0
-        ):
+        if self._use_packet():
             return packet_trace_closest(self.db.packet_scene, o, d, t_max)
         return trace_closest(self.db.device_scene, o, d, t_max)
 
     def _occluded(self, o, d, t_max):
-        r = o.shape[0]
-        if (
-            self.settings.use_packet_tracer
-            and self.db.packet_scene is not None
-            and r % PACKET == 0
-        ):
+        if self._use_packet():
             return packet_trace_any(self.db.packet_scene, o, d, t_max)
         return trace_any(self.db.device_scene, o, d, t_max)
 
@@ -151,12 +152,30 @@ class DeferredPipeline:
                 gbuf.position.reshape(r, 3), gbuf.normal.reshape(r, 3), self.frame
             ).reshape(h, w, 3)
 
-        # deferred lighting + RT shadows
+        # deferred lighting + shadows (ray-traced or PCF cube maps)
         occ = self._occluded if s.shadows == "ray_traced" else None
+        pcf_fn = None
+        if s.shadows == "pcf" and n_lights > 0:
+            if self._shadow_mgr is None:
+                self._shadow_mgr = shadowmap_mod.PointShadowManager(
+                    lambda o, d, tm: self._closest(o, d, tm).t, s.shadow_map_res
+                )
+            maps = [
+                self._shadow_mgr.update(li, self.db.lights.lights[li].position)
+                for li in range(n_lights)
+            ]
+            pcf_fn = lambda li, pts: shadowmap_mod.pcf_visibility(maps[li], pts)
+        dsettings = replace(s.deferred, shadow_mode=s.shadows) \
+            if s.shadows != s.deferred.shadow_mode else s.deferred
         color = deferred_mod.shade_deferred(
             gbuf, lights, n_lights, cam_params["origin"], occ,
-            s.deferred, gi=gi, ao=ao, frame=self.frame,
+            dsettings, gi=gi, ao=ao, frame=self.frame, pcf_fn=pcf_fn,
         )
+
+        # depth-peeled OIT over the opaque result (ref: RecordTransparent/
+        # ResolveTransparent; layers arrive depth-ordered by construction)
+        if s.use_oit:
+            color = self._composite_transparency(color, cam_params, jitter)
 
         # SSR merge (ref: SSR then MergeTextures)
         if s.use_ssr:
@@ -185,9 +204,54 @@ class DeferredPipeline:
             )
             self.history = color
 
+        # adaptive-rate classifier map (ref: VRS tiles; consumers can feed
+        # this back as per-tile sample budgets)
+        if s.use_classifier:
+            self.rate_map = adaptive_mod.classify(color, gbuf.velocity)
+
         self._prev_cam_params = cam_params
         self.frame += 1
         return tonemap_mod.tonemap(color, s.tonemap)
+
+    def _composite_transparency(self, opaque_color, cam_params, jitter):
+        """Depth-peel transparent surfaces along camera rays and composite
+        front-to-back over the opaque shading (render/oit.py)."""
+        from .camera import generate_rays
+
+        from . import oit as oit_mod
+
+        w, h = self.width, self.height
+        o, d = generate_rays(cam_params, w, h, jnp.asarray(jitter, jnp.float32))
+        mats = self.mats
+        scene = self.db.device_scene
+        trans_of = mats["transmission"]
+
+        r = w * h
+        color = jnp.zeros((r, 3), jnp.float32)
+        transmit = jnp.ones((r,), jnp.float32)
+        t_min = jnp.zeros((r,), jnp.float32)
+        t_far = jnp.full((r,), 3.4e38, jnp.float32)
+        for _ in range(self.settings.oit_layers):
+            hit = self._closest(o + d * t_min[..., None], d, t_far)
+            valid = hit.slot >= 0
+            mid = scene.tri_mat[jnp.maximum(hit.slot, 0)]
+            base = mats["base_color"][mid]
+            a = jnp.where(
+                trans_of[mid] > 0.0, 1.0 - trans_of[mid],
+                jnp.where(base[:, 3] < 1.0, base[:, 3], 1.0),
+            )
+            opaque_here = a >= 0.999
+            # opaque hits end the peel for that ray — the opaque pass
+            # already shaded them
+            wgt = transmit * jnp.where(valid & ~opaque_here, a, 0.0)
+            color = color + base[:, :3] * wgt[..., None]
+            transmit = jnp.where(valid & ~opaque_here, transmit * (1.0 - a), transmit)
+            t_min = jnp.where(valid & ~opaque_here, t_min + hit.t + 1e-4, t_min)
+            t_far = jnp.where(valid & opaque_here, 0.0, t_far)
+        alpha = 1.0 - transmit
+        return oit_mod.composite_over(
+            color.reshape(h, w, 3), alpha.reshape(h, w), opaque_color
+        )
 
 
 @dataclass

@@ -241,3 +241,126 @@ class TestDynamics:
         assert sample(lin, 0.5)[0] == pytest.approx(5.0)
         assert sample(stp, 0.5)[0] == pytest.approx(0.0)
         assert sample(lin, 5.0)[0] == pytest.approx(20.0)  # clamp
+
+
+class TestNewPasses:
+    def test_shadowmap_cube_roundtrip(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.render.shadowmap import _dir_to_face_uv, _face_dirs
+        rs = np.random.RandomState(0)
+        d = rs.randn(512, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        face, u, v = _dir_to_face_uv(jnp.asarray(d))
+        d2 = _face_dirs(face, jnp.asarray(u) * 2 - 1, jnp.asarray(v) * 2 - 1)
+        np.testing.assert_allclose(np.asarray(d2), d, atol=1e-5)
+
+    def test_shadowmap_pcf_occlusion(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.render.shadowmap import build_point_shadow, pcf_visibility
+
+        # analytic "scene": a plane at y=0 (rays pointing down hit at dist
+        # light_y / |dy|); everything else misses
+        lp = np.array([0.0, 5.0, 0.0], np.float32)
+
+        def trace(o, d, tm):
+            dy = d[:, 1]
+            t = jnp.where(dy < -1e-6, -o[:, 1] / jnp.minimum(dy, -1e-6), 3.4e38)
+            return t
+
+        sm = build_point_shadow(trace, lp, res=64)
+        # point just below the plane: occluded; above: visible
+        below = jnp.asarray([[0.5, -2.0, 0.5]], jnp.float32)
+        above = jnp.asarray([[0.5, 2.0, 0.5]], jnp.float32)
+        v_below = float(pcf_visibility(sm, below)[0])
+        v_above = float(pcf_visibility(sm, above)[0])
+        assert v_below < 0.3 and v_above > 0.9
+
+    def test_oit_peel_composite(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.render.oit import composite_over, peel_layers
+
+        # two transparent layers at t=1 and t=2 with alpha 0.5 each
+        def trace(o, d, t_min, t_far):
+            t = jnp.where(t_min < 1.0, 1.0, jnp.where(t_min < 2.0, 2.0, 0.0))
+            return t, t > 0
+
+        def shade(t, valid):
+            rgb = jnp.where((t < 1.5)[:, None],
+                            jnp.array([[1.0, 0, 0]]), jnp.array([[0, 1.0, 0]]))
+            return rgb, jnp.full(t.shape, 0.5)
+
+        o = jnp.zeros((8, 3)); d = jnp.zeros((8, 3)); d = d.at[:, 2].set(1.0)
+        color, alpha = peel_layers(trace, shade, o, d, jnp.full((8,), 10.0), layers=3)
+        # front-to-back: 0.5*red + 0.5*0.5*green
+        np.testing.assert_allclose(np.asarray(color[0]), [0.5, 0.25, 0.0], atol=1e-5)
+        np.testing.assert_allclose(float(alpha[0]), 0.75, atol=1e-5)
+        out = composite_over(color, alpha, jnp.ones((8, 3)) * 0.2)
+        np.testing.assert_allclose(np.asarray(out[0]), [0.55, 0.3, 0.05], atol=1e-5)
+
+    def test_upscaler_converges_static(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.render.upscale import UpscaleSettings, taau_resolve
+
+        rs = np.random.RandomState(1)
+        target = rs.rand(32, 32, 3).astype(np.float32)
+        low = jnp.asarray(target[::2, ::2])
+        hist = None
+        vel = jnp.zeros((32, 32, 2))
+        for f in range(6):
+            hist = taau_resolve(low, hist, vel, (0.0, 0.0),
+                                UpscaleSettings(scale=2, sharpen=0.0))
+        assert hist.shape == (32, 32, 3)
+        assert float(jnp.mean(jnp.abs(hist))) > 0
+
+    def test_adaptive_classifier_rates(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.render.adaptive import classify
+
+        h = w = 64
+        color = np.zeros((h, w, 3), np.float32) + 0.5
+        color[:16, :16] += np.random.RandomState(0).rand(16, 16, 3).astype(np.float32)
+        vel = np.zeros((h, w, 2), np.float32)
+        vel[-16:, -16:] = 50.0  # fast-moving tile
+        rate = np.asarray(classify(jnp.asarray(color), jnp.asarray(vel)))
+        assert rate.shape == (4, 4)
+        assert rate[0, 0] > rate[1, 1]  # noisy tile gets more samples
+        assert rate[3, 3] < rate[1, 1]  # fast tile gets fewer
+
+    def test_device_sort_matches_argsort(self):
+        import jax.numpy as jnp
+        from idkengine_tpu.ops.device_sort import radix_argsort, sort_rays_by_key
+
+        rs = np.random.RandomState(2)
+        k = rs.randint(0, 1 << 18, 4096).astype(np.int32)
+        v = rs.rand(4096).astype(np.float32)
+        idx = np.asarray(radix_argsort(jnp.asarray(k)))
+        np.testing.assert_array_equal(np.sort(k), k[idx])
+        (vs,) = sort_rays_by_key(jnp.asarray(k), (jnp.asarray(v),))
+        np.testing.assert_allclose(np.sort(k), np.asarray(
+            sort_rays_by_key(jnp.asarray(k), (jnp.asarray(k),))[0]))
+
+    def test_deferred_pipeline_modes(self):
+        """Smoke: DeferredPipeline with PCF shadows + OIT + classifier on a
+        tiny Cornell render (XLA trace path)."""
+        import jax.numpy as jnp
+        from idkengine_tpu.render.pipeline import DeferredPipeline, DeferredSettings2
+        from idkengine_tpu.render.camera import Camera
+        from idkengine_tpu.scene.procedural import cornell_box
+        from idkengine_tpu.scene.scene_db import SceneDatabase
+
+        db = SceneDatabase()
+        db.add_model(cornell_box())
+        db.build()
+        db.lights.add([278, 520, 279], [3e5, 3e5, 3e5], radius=40.0)
+        s = DeferredSettings2(
+            use_packet_tracer=False, use_taa=False, use_bloom=False,
+            use_ssao=False, use_oit=True, oit_layers=2, use_classifier=True,
+            shadows="pcf", shadow_map_res=32,
+        )
+        pipe = DeferredPipeline(db, 32, 32, s)
+        cam = Camera(position=np.array([278, 273, -500], np.float32),
+                     yaw=90.0, fov_y=40.0)
+        img = np.asarray(pipe.render_frame(cam))
+        assert img.shape == (32, 32, 3)
+        assert np.isfinite(img).all() and img.std() > 0
+        assert pipe.rate_map.shape == (2, 2)

@@ -132,3 +132,30 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def per_group_visits(nodes_min, nodes_max, first, count, o, d, group):
+    """Visits per group (list), for lockstep-imbalance analysis."""
+    n_rays = o.shape[0]
+    inv = 1.0 / np.where(np.abs(d) < 1e-12, 1e-12, d)
+    out = []
+    for g0 in range(0, n_rays, group):
+        sel = slice(g0, min(g0 + group, n_rays))
+        og, ig = o[sel], inv[sel]
+        stack = [0]
+        tot = 0
+        while stack:
+            ni = stack.pop()
+            t0 = (nodes_min[ni] - og) * ig
+            t1 = (nodes_max[ni] - og) * ig
+            tn = np.minimum(t0, t1).max(1)
+            tf = np.maximum(t0, t1).min(1)
+            hit = (tf >= np.maximum(tn, 0.0))
+            tot += 1
+            if not hit.any():
+                continue
+            if count[ni] == 0:
+                stack.append(first[ni])
+                stack.append(first[ni] + 1)
+        out.append(tot)
+    return np.array(out)
