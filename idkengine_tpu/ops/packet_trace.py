@@ -148,12 +148,88 @@ def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
     return out[:n_out].copy(), orig[:n_out].copy()
 
 
+def _subtree_extract(nodes: np.ndarray, orig: np.ndarray, root: int):
+    """Renumber the subtree at `root` into a fresh builder-layout array
+    (root 0, children consecutive), keeping the original-id map."""
+    out = np.zeros(nodes.shape[0], dtype=nodes.dtype)
+    o_map = np.zeros(nodes.shape[0], np.int64)
+    out[0] = nodes[root]
+    o_map[0] = orig[root]
+    n_out, k = 1, 0
+    while k < n_out:
+        if out[k]["count"] == 0:
+            l = int(out[k]["left_or_first"])
+            out[k]["left_or_first"] = n_out
+            out[n_out] = nodes[l]
+            out[n_out + 1] = nodes[l + 1]
+            o_map[n_out] = orig[l]
+            o_map[n_out + 1] = orig[l + 1]
+            n_out += 2
+        k += 1
+    return out[:n_out].copy(), o_map[:n_out].copy()
+
+
+def _segment_roots(nodes: np.ndarray, budget: int) -> list[int]:
+    """Minimal antichain of subtree roots whose packed tables each fit the
+    VMEM budget. Footprints via one reverse scan (children follow parents)."""
+    n = nodes.shape[0]
+    is_leaf = nodes["count"] > 0
+    pairs_below = np.zeros(n, np.int64)
+    leaves_below = np.zeros(n, np.int64)
+    for i in range(n - 1, -1, -1):
+        if is_leaf[i]:
+            leaves_below[i] = 1
+        else:
+            l = int(nodes["left_or_first"][i])
+            pairs_below[i] = 1 + pairs_below[l] + pairs_below[l + 1]
+            leaves_below[i] = leaves_below[l] + leaves_below[l + 1]
+    foot = (
+        (1 + (pairs_below + 7) // 8) * 512
+        + ((leaves_below + LEAVES_PER_ROW - 1) // LEAVES_PER_ROW) * 512
+    )
+    roots, stack = [], [0]
+    while stack:
+        i = stack.pop()
+        if foot[i] <= budget or is_leaf[i]:
+            roots.append(i)
+        else:
+            l = int(nodes["left_or_first"][i])
+            stack.append(l)
+            stack.append(l + 1)
+    return roots
+
+
+def build_packet_tables_segmented(
+    nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
+    vertices: np.ndarray, indices: np.ndarray, budget: int,
+) -> list[PacketTables]:
+    """Split an over-VMEM BVH into subtree segments that each fit `budget`
+    and pack each as its own table set. Traversal chains the segments with
+    a carried t_max (closest) / OR (any-hit); leaf metas keep GLOBAL slot
+    ids so shading is segment-agnostic. This is how Bistro-class scenes
+    (>VMEM) keep using the packet kernel instead of the slow XLA fallback."""
+    collapsed, orig = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
+    roots = _segment_roots(collapsed, budget)
+    out = []
+    for r in roots:
+        sub, sub_orig = _subtree_extract(collapsed, orig, r)
+        out.append(_tables_from_collapsed(
+            sub, sub_orig, slot_tri_ids, vertices, indices))
+    return out
+
+
 def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
                         vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
     """Pack builder nodes (NODE_DTYPE, root 0, children l/l+1) + leaf-slot
     triangles into the kernel's pair/leaf tables (fully vectorized; also
     captures the static-index refresh plan for per-frame refits)."""
     nodes, collapse_map = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
+    return _tables_from_collapsed(nodes, collapse_map, slot_tri_ids, vertices, indices)
+
+
+def _tables_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
+                           slot_tri_ids: np.ndarray,
+                           vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
     n = nodes.shape[0]
     counts = nodes["count"].astype(np.int64)
     firsts = nodes["left_or_first"].astype(np.int64)
@@ -562,21 +638,51 @@ FORCE_INTERPRET = False
 
 
 @partial(jax.jit, static_argnames=("interpret", "rows"))
-def packet_trace_closest(ps: PacketScene, o, d, t_max, interpret: bool = False,
+def packet_trace_closest(ps, o, d, t_max, interpret: bool = False,
                          rows: int = PACKET_ROWS) -> Hit:
-    """Closest-hit packet trace. o/d: (R,3); rows*128-ray packets."""
+    """Closest-hit packet trace. o/d: (R,3); rows*128-ray packets.
+
+    ps: a PacketScene, or a tuple of them (VMEM-segmented big scene) —
+    segments chain with a carried t_max so later segments only refine."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
-    return _pallas_trace(ps, o, d, t_max.astype(jnp.float32), False,
-                         interpret or FORCE_INTERPRET, rows)
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    if isinstance(ps, PacketScene):
+        return _pallas_trace(ps, o, d, t_max, False, itp, rows)
+    best = None
+    for seg in ps:
+        h = _pallas_trace(seg, o, d, t_max, False, itp, rows)
+        if best is None:
+            best = h
+        else:
+            closer = h.slot >= 0  # h.t < t_max implied by the hit test
+            best = Hit(
+                t=jnp.where(closer, h.t, best.t),
+                slot=jnp.where(closer, h.slot, best.slot),
+                u=jnp.where(closer, h.u, best.u),
+                v=jnp.where(closer, h.v, best.v),
+            )
+        t_max = best.t
+    return best
 
 
 @partial(jax.jit, static_argnames=("interpret", "rows"))
-def packet_trace_any(ps: PacketScene, o, d, t_max, interpret: bool = False,
+def packet_trace_any(ps, o, d, t_max, interpret: bool = False,
                      rows: int = PACKET_ROWS):
-    """Occlusion packet trace: True where something closer than t_max."""
+    """Occlusion packet trace: True where something closer than t_max.
+    Accepts a PacketScene or a tuple of segments (occluded rays turn into
+    dead rays for the remaining segments)."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
-    hit = _pallas_trace(ps, o, d, t_max.astype(jnp.float32), True,
-                        interpret or FORCE_INTERPRET, rows)
-    return hit.slot >= 0
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    if isinstance(ps, PacketScene):
+        hit = _pallas_trace(ps, o, d, t_max, True, itp, rows)
+        return hit.slot >= 0
+    occ = jnp.zeros((o.shape[0],), bool)
+    for seg in ps:
+        hit = _pallas_trace(seg, o, d, t_max, True, itp, rows)
+        occ = occ | (hit.slot >= 0)
+        t_max = jnp.where(occ, jnp.float32(-1.0), t_max)
+    return occ

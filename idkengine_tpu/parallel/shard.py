@@ -46,7 +46,7 @@ def shard_render(mesh: Mesh, render_sample_fn, axis: str = "rays"):
 
     return jax.jit(
         render_sample_fn,
-        in_shardings=(repl,) * 6,
+        in_shardings=(repl,) * 7,
         out_shardings=(by_rays, by_rays, by_rays, by_rays, repl),
     )
 
@@ -76,6 +76,8 @@ class ShardedPathTracer:
         radiance, alb, nrm, dep, nrays = self._fn(
             self._scene_r, self._mats_r, self._lights_r, self._env_r,
             cam_params, jnp.uint32(self.pt._frame),
+            None if self.pt.packet_scene is None
+            else replicate(self.mesh, self.pt.packet_scene),
         )
         n = self.pt.accumulated_samples
         self.pt.accum = (self.pt.accum * n + radiance) / (n + 1)

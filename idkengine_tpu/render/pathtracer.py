@@ -199,11 +199,15 @@ class PathTracer:
         self.accumulated_samples = 0
 
     # ----------------------------------------------------------------
-    def _render_sample(self, scene, mats, lights, env_map, cam_params, frame):
+    def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
+                       packet_scene):
+        # packet_scene travels as an ARGUMENT: closing over the tables bakes
+        # them into the HLO as constants (a 2.8M-tri scene is ~150 MB of
+        # tables — blows up the compile payload)
         s = self.settings
         w, h = self.width, self.height
         r = w * h
-        use_packet = s.use_packet_tracer and self.packet_scene is not None
+        use_packet = s.use_packet_tracer and packet_scene is not None
         # tile-swizzled launch order: ray i belongs to pixel swz[i]
         swz = self._swz if use_packet else jnp.arange(r, dtype=jnp.int32)
         pix = swz.astype(jnp.uint32)
@@ -230,13 +234,13 @@ class PathTracer:
 
         def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
             if use_packet:
-                return packet_trace_closest(self.packet_scene, o_, d_, t_max_,
+                return packet_trace_closest(packet_scene, o_, d_, t_max_,
                                             rows=rows)
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
 
         def _occluded(o_, d_, t_max_, rows=PACKET_ROWS):
             if use_packet:
-                return packet_trace_any(self.packet_scene, o_, d_, t_max_,
+                return packet_trace_any(packet_scene, o_, d_, t_max_,
                                         rows=rows)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
@@ -490,7 +494,7 @@ class PathTracer:
         for _ in range(self.settings.spp_per_frame):
             radiance, alb, nrm, dep, nrays = fn(
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
-                jnp.uint32(self._frame),
+                jnp.uint32(self._frame), self.packet_scene,
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

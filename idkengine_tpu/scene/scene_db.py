@@ -177,7 +177,8 @@ class SceneDatabase:
         the build settings are compatible; shares the builder slot space
         with the threaded-trace shading arrays."""
         from ..ops.packet_trace import (
-            MAX_LEAF_PACKET, PACKET_VMEM_BUDGET, PacketScene, build_packet_tables,
+            MAX_LEAF_PACKET, PACKET_VMEM_BUDGET, PacketScene,
+            build_packet_tables, build_packet_tables_segmented,
         )
 
         self.packet_scene = None
@@ -192,11 +193,22 @@ class SceneDatabase:
                     self._packet_tables = tables
                     self.packet_scene = PacketScene.from_tables(tables)
                 else:
-                    log.warning(
-                        "scene too large for VMEM-resident packet tracer "
-                        "(%.1f MB > %.1f MB budget); falling back to the XLA "
-                        "threaded trace", tables.vmem_bytes / 1e6,
-                        PACKET_VMEM_BUDGET / 1e6,
+                    # VMEM-segmented big scene: subtree tables that each fit
+                    # the budget, chained at trace time with a carried t_max
+                    segs = build_packet_tables_segmented(
+                        self.blas.nodes, self.blas.tri_indices,
+                        self._verts, self._indices, PACKET_VMEM_BUDGET,
+                    )
+                    self._packet_tables = segs
+                    self.packet_scene = tuple(
+                        PacketScene.from_tables(t) for t in segs
+                    )
+                    log.info(
+                        "scene over the %.0f MB VMEM budget (%.1f MB): "
+                        "packet tracer split into %d subtree segments "
+                        "(max %.1f MB)", PACKET_VMEM_BUDGET / 1e6,
+                        tables.vmem_bytes / 1e6, len(segs),
+                        max(t.vmem_bytes for t in segs) / 1e6,
                     )
             except AssertionError as e:
                 log.warning("packet tables unavailable: %s", e)
@@ -268,12 +280,21 @@ class SceneDatabase:
             self._flat, ft, max_leaf=self.build_settings.max_leaf_triangle_count
         )
         if self.packet_scene is not None and self._packet_tables is not None:
-            self._packet_tables.refresh(
-                self.blas.nodes, self.blas.tri_indices, self._verts, self._indices
-            )
             from ..ops.packet_trace import PacketScene
 
-            self.packet_scene = PacketScene.from_tables(self._packet_tables)
+            if isinstance(self._packet_tables, list):
+                for t in self._packet_tables:
+                    t.refresh(self.blas.nodes, self.blas.tri_indices,
+                              self._verts, self._indices)
+                self.packet_scene = tuple(
+                    PacketScene.from_tables(t) for t in self._packet_tables
+                )
+            else:
+                self._packet_tables.refresh(
+                    self.blas.nodes, self.blas.tri_indices, self._verts,
+                    self._indices,
+                )
+                self.packet_scene = PacketScene.from_tables(self._packet_tables)
         return self.device_scene
 
     # ------------------------------------------------------------------

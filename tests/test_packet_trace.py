@@ -120,3 +120,41 @@ class TestPacketTrace:
         t_max = jnp.full((R,), -1.0, jnp.float32)  # all dead
         hit = packet_trace_closest(ps, o, d, t_max, interpret=True)
         assert int(jnp.sum(hit.slot >= 0)) == 0
+
+
+class TestSegmented:
+    def test_segmented_matches_single(self):
+        """Tiny VMEM budget forces multiple subtree segments; chained
+        traversal must agree with the single-table kernel."""
+        from idkengine_tpu.ops.packet_trace import build_packet_tables_segmented
+
+        verts, idx = _merge(atrium(8000))
+        b = BLAS(verts, idx, BuildSettings(max_leaf_triangle_count=MAX_LEAF_PACKET,
+                                           traversal_cost=3.0))
+        single = PacketScene.from_tables(
+            build_packet_tables(b.nodes, b.tri_indices, verts, idx))
+        segs = build_packet_tables_segmented(
+            b.nodes, b.tri_indices, verts, idx, budget=120_000)
+        assert len(segs) > 2
+        multi = tuple(PacketScene.from_tables(t) for t in segs)
+
+        rs = np.random.RandomState(7)
+        R = 1024
+        c = verts.mean(0)
+        ext = float(np.max(verts.max(0) - verts.min(0)))
+        o = (c + rs.randn(R, 3) * ext).astype(np.float32)
+        d = rs.randn(R, 3).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        tm = jnp.full((R,), 1e30, jnp.float32)
+        h1 = packet_trace_closest(single, jnp.asarray(o), jnp.asarray(d), tm,
+                                  interpret=True)
+        h2 = packet_trace_closest(multi, jnp.asarray(o), jnp.asarray(d), tm,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(h1.t), np.asarray(h2.t), rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(h1.slot >= 0),
+                                      np.asarray(h2.slot >= 0))
+        occ1 = packet_trace_any(single, jnp.asarray(o), jnp.asarray(d),
+                                jnp.full((R,), ext, jnp.float32), interpret=True)
+        occ2 = packet_trace_any(multi, jnp.asarray(o), jnp.asarray(d),
+                                jnp.full((R,), ext, jnp.float32), interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
