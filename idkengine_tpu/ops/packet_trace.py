@@ -58,6 +58,10 @@ STACK_DEPTH = 128
 # VMEM budget for the resident pair+leaf tables (the ray blocks, outputs and
 # double-buffering need the rest of the ~16 MB scoped vmem)
 PACKET_VMEM_BUDGET = 13_000_000
+# 8-wide (BVH8) nodes: one pop tests 8 child boxes — 3 binary levels per
+# vector→scalar sync instead of 1. Default on; IDK_WIDE=0 falls back to the
+# sibling-pair kernel.
+WIDE = bool(int(__import__('os').environ.get('IDK_WIDE', '1')))
 
 
 # ---------------------------------------------------------------------------
@@ -80,6 +84,10 @@ class PacketTables:
     plan_leaf_row: np.ndarray | None = None  # (S,) leaf row
     plan_leaf_base: np.ndarray | None = None  # (S,) lane base (k*9)
     collapse_map: np.ndarray | None = None  # (Nc,) collapsed idx -> builder idx
+    wide: bool = False  # 8-wide node layout (see _tables_wide_from_collapsed)
+    plan_wrow: np.ndarray | None = None  # (K,) row per real wide-child slot
+    plan_wbase: np.ndarray | None = None  # (K,) lane base per wide-child slot
+    plan_wnode: np.ndarray | None = None  # (K,) collapsed node id per slot
 
     def refresh(self, nodes: np.ndarray, slot_tri_ids: np.ndarray,
                 vertices: np.ndarray, indices: np.ndarray):
@@ -88,11 +96,16 @@ class PacketTables:
         correctness is unaffected). Fully vectorized (per-frame path)."""
         nm = nodes["min"][self.collapse_map]
         nx = nodes["max"][self.collapse_map]
-        for j in range(3):
-            self.pairs[self.plan_row, self.plan_off + j] = nm[self.plan_c0][:, j]
-            self.pairs[self.plan_row, self.plan_off + 3 + j] = nx[self.plan_c0][:, j]
-            self.pairs[self.plan_row, self.plan_off + 6 + j] = nm[self.plan_c1][:, j]
-            self.pairs[self.plan_row, self.plan_off + 9 + j] = nx[self.plan_c1][:, j]
+        if self.wide:
+            for j in range(3):
+                self.pairs[self.plan_wrow, self.plan_wbase + j] = nm[self.plan_wnode][:, j]
+                self.pairs[self.plan_wrow, self.plan_wbase + 3 + j] = nx[self.plan_wnode][:, j]
+        else:
+            for j in range(3):
+                self.pairs[self.plan_row, self.plan_off + j] = nm[self.plan_c0][:, j]
+                self.pairs[self.plan_row, self.plan_off + 3 + j] = nx[self.plan_c0][:, j]
+                self.pairs[self.plan_row, self.plan_off + 6 + j] = nm[self.plan_c1][:, j]
+                self.pairs[self.plan_row, self.plan_off + 9 + j] = nx[self.plan_c1][:, j]
         self.pairs[0, 2:5] = nodes["min"][0]
         self.pairs[0, 5:8] = nodes["max"][0]
         tri_v = indices[slot_tri_ids[self.plan_leaf_slot].astype(np.int64)]
@@ -202,29 +215,45 @@ def _segment_roots(nodes: np.ndarray, budget: int) -> list[int]:
 def build_packet_tables_segmented(
     nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
     vertices: np.ndarray, indices: np.ndarray, budget: int,
+    wide: bool = WIDE,
 ) -> list[PacketTables]:
     """Split an over-VMEM BVH into subtree segments that each fit `budget`
     and pack each as its own table set. Traversal chains the segments with
     a carried t_max (closest) / OR (any-hit); leaf metas keep GLOBAL slot
     ids so shading is segment-agnostic. This is how Bistro-class scenes
-    (>VMEM) keep using the packet kernel instead of the slow XLA fallback."""
+    (>VMEM) keep using the packet kernel instead of the slow XLA fallback.
+
+    Segmentation runs on the binary tree with the pair-table footprint;
+    wide tables are usually smaller (64 lanes per ~7 interiors vs 16 per
+    pair). Ragged subtrees can pack bigger — over-budget segments are
+    re-split with a tighter budget."""
     collapsed, orig = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
-    roots = _segment_roots(collapsed, budget)
-    out = []
-    for r in roots:
-        sub, sub_orig = _subtree_extract(collapsed, orig, r)
-        out.append(_tables_from_collapsed(
-            sub, sub_orig, slot_tri_ids, vertices, indices))
-    return out
+    pack = _tables_wide_from_collapsed if wide else _tables_from_collapsed
+
+    def emit(parent, parent_orig, sub_budget) -> list[PacketTables]:
+        out = []
+        for r in _segment_roots(parent, sub_budget):
+            sub, sub_orig = _subtree_extract(parent, parent_orig, r)
+            t = pack(sub, sub_orig, slot_tri_ids, vertices, indices)
+            if t.vmem_bytes > budget and sub.shape[0] > 3:
+                # rare ragged case: wide packing overshot the pair estimate
+                out.extend(emit(sub, sub_orig, sub_budget * 0.6))
+            else:
+                out.append(t)
+        return out
+
+    return emit(collapsed, orig, budget)
 
 
 def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
-                        vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
+                        vertices: np.ndarray, indices: np.ndarray,
+                        wide: bool = WIDE) -> PacketTables:
     """Pack builder nodes (NODE_DTYPE, root 0, children l/l+1) + leaf-slot
-    triangles into the kernel's pair/leaf tables (fully vectorized; also
+    triangles into the kernel's node/leaf tables (8-wide by default; also
     captures the static-index refresh plan for per-frame refits)."""
     nodes, collapse_map = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
-    return _tables_from_collapsed(nodes, collapse_map, slot_tri_ids, vertices, indices)
+    pack = _tables_wide_from_collapsed if wide else _tables_from_collapsed
+    return pack(nodes, collapse_map, slot_tri_ids, vertices, indices)
 
 
 def _tables_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
@@ -328,22 +357,190 @@ def _tables_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
     )
 
 
+# ---------------------------------------------------------------------------
+# Wide (8-ary) tables — BVH8 collapse of the binary tree
+# ---------------------------------------------------------------------------
+
+def _collapse_wide(nodes: np.ndarray):
+    """Collapse a (leaf-collapsed) binary tree into 8-wide nodes by greedily
+    expanding the largest-area interior child until 8 children (the standard
+    CWBVH-style collapse). Returns (kids, axis, order):
+      kids  (W,8) int64 binary-node id per child slot, -1 = empty
+      axis  (W,)  ordering axis per wide node (children sorted ascending)
+      order (W,)  binary id of each wide node (BFS, parents first)
+    Child slot order is ascending centroid along `axis`; traversal pushes
+    forward or reversed by the packet's direction sign on that axis."""
+    counts = nodes["count"].astype(np.int64)
+    firsts = nodes["left_or_first"].astype(np.int64)
+    nmin = nodes["min"].astype(np.float64)
+    nmax = nodes["max"].astype(np.float64)
+    ext = np.maximum(nmax - nmin, 0.0)
+    area = ext[:, 0] * ext[:, 1] + ext[:, 1] * ext[:, 2] + ext[:, 2] * ext[:, 0]
+    center = 0.5 * (nmin + nmax)
+    is_leaf = counts > 0
+
+    kids_rows: list[list[int]] = []
+    axis_rows: list[int] = []
+    wide_of = {}
+    order = [0]
+    qi = 0
+    while qi < len(order):
+        b = order[qi]
+        qi += 1
+        kids = [int(firsts[b]), int(firsts[b]) + 1]
+        while len(kids) < 8:
+            best, best_a = -1, -1.0
+            for j, k in enumerate(kids):
+                if not is_leaf[k] and area[k] > best_a:
+                    best_a = area[k]
+                    best = j
+            if best < 0:
+                break
+            k = kids.pop(best)
+            kids.extend((int(firsts[k]), int(firsts[k]) + 1))
+        c = center[kids]
+        axis = int(np.argmax(c.max(0) - c.min(0)))
+        kids.sort(key=lambda k: center[k, axis])
+        for k in kids:
+            if not is_leaf[k]:
+                wide_of[k] = len(order)
+                order.append(k)
+        kids_rows.append(kids)
+        axis_rows.append(axis)
+
+    W = len(kids_rows)
+    kids_arr = np.full((W, 8), -1, np.int64)
+    for w, ks in enumerate(kids_rows):
+        kids_arr[w, : len(ks)] = ks
+    axis_arr = np.asarray(axis_rows, np.int64)
+    # per-wide-node meta0 as referenced by the PARENT: wide_id*4 + own axis
+    self_meta0 = np.arange(W, dtype=np.int64) * 4 + axis_arr
+    wide_meta0_of = np.full(nodes.shape[0], -1, np.int64)
+    for b, w in wide_of.items():
+        wide_meta0_of[b] = self_meta0[w]
+    wide_meta0_of[0] = self_meta0[0]
+    return kids_arr, axis_arr, np.asarray(order, np.int64), wide_meta0_of
+
+
+def _pack_leaves(leaf_firsts, leaf_counts, slot_tri_ids, vertices, indices):
+    """Pack per-leaf triangles into the 128-lane leaf table (shared by the
+    pair and wide kernels). Returns (leaf_geo, plan_slot, plan_row, plan_base)
+    where leaf slot s = position in leaf_firsts."""
+    n_leaves = leaf_firsts.shape[0]
+    lpr = LEAVES_PER_ROW
+    leaf_geo = np.zeros((max((n_leaves + lpr - 1) // lpr, 1), 128), np.float32)
+    if not n_leaves:
+        z = np.zeros(0, np.int64)
+        return leaf_geo, z, z, z
+    kk = np.arange(MAX_LEAF_PACKET)
+    mask = kk[None, :] < leaf_counts[:, None]
+    li_idx, k_idx = np.nonzero(mask)
+    slots = leaf_firsts[li_idx] + k_idx
+    rows_l = li_idx // lpr
+    base_l = (li_idx % lpr) * (MAX_LEAF_PACKET * 9) + k_idx * 9
+    tri_v = indices[slot_tri_ids[slots].astype(np.int64)]
+    p = vertices[tri_v]
+    p0 = p[:, 0]
+    e1 = p[:, 1] - p[:, 0]
+    e2 = p[:, 2] - p[:, 0]
+    for j in range(3):
+        leaf_geo[rows_l, base_l + j] = p0[:, j]
+        leaf_geo[rows_l, base_l + 3 + j] = e1[:, j]
+        leaf_geo[rows_l, base_l + 6 + j] = e2[:, j]
+    return leaf_geo, slots, rows_l, base_l
+
+
+def _tables_wide_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
+                                slot_tri_ids: np.ndarray,
+                                vertices: np.ndarray, indices: np.ndarray) -> PacketTables:
+    """Pack a leaf-collapsed binary tree as 8-wide nodes: wide node w lives
+    at row 1+(w>>1), lane block (w&1)*64; child c at lanes [c*8, c*8+8):
+    [min3, max3, meta0, meta1]. Empty slots carry NaN boxes (the slab test
+    can never pass) and zero metas. Row 0 is the root record as in v7."""
+    counts = nodes["count"].astype(np.int64)
+    firsts = nodes["left_or_first"].astype(np.int64)
+    n = nodes.shape[0]
+    leaf_ids = np.nonzero(counts > 0)[0]
+    assert counts[leaf_ids].max(initial=0) <= MAX_LEAF_PACKET
+    leaf_slot_of = np.zeros(n, np.int64)
+    leaf_slot_of[leaf_ids] = np.arange(leaf_ids.shape[0])
+    # per-node leaf meta (valid where leaf)
+    meta0_leaf = firsts
+    meta1_leaf = counts + leaf_slot_of * 16
+
+    leaf_geo, plan_slot, plan_lrow, plan_lbase = _pack_leaves(
+        firsts[leaf_ids], counts[leaf_ids], slot_tri_ids, vertices, indices)
+
+    if counts[0] > 0:  # degenerate: whole (sub)tree is one leaf
+        pairs = np.zeros((1, 128), np.float32)
+        pairs[0, 0] = meta0_leaf[0]
+        pairs[0, 1] = meta1_leaf[0]
+        pairs[0, 2:5] = nodes["min"][0]
+        pairs[0, 5:8] = nodes["max"][0]
+        return PacketTables(
+            pairs, leaf_geo, n, pairs.nbytes + leaf_geo.nbytes,
+            collapsed_nodes=nodes, wide=True,
+            plan_wrow=np.zeros(0, np.int64), plan_wbase=np.zeros(0, np.int64),
+            plan_wnode=np.zeros(0, np.int64),
+            plan_leaf_slot=plan_slot, plan_leaf_row=plan_lrow,
+            plan_leaf_base=plan_lbase, collapse_map=collapse_map,
+        )
+
+    kids, axis, order, wide_meta0_of = _collapse_wide(nodes)
+    W = kids.shape[0]
+    pairs = np.zeros((1 + (W + 1) // 2, 128), np.float32)
+
+    w_idx, c_idx = np.nonzero(kids >= 0)
+    k_ids = kids[w_idx, c_idx]
+    rows_w = 1 + (w_idx >> 1)
+    base_w = (w_idx & 1) * 64 + c_idx * 8
+    # empty slots: NaN boxes so the slab test never passes
+    empty_w, empty_c = np.nonzero(kids < 0)
+    e_rows = 1 + (empty_w >> 1)
+    e_base = (empty_w & 1) * 64 + empty_c * 8
+    for j in range(6):
+        pairs[e_rows, e_base + j] = np.nan
+    for j in range(3):
+        pairs[rows_w, base_w + j] = nodes["min"][k_ids][:, j]
+        pairs[rows_w, base_w + 3 + j] = nodes["max"][k_ids][:, j]
+    k_leaf = counts[k_ids] > 0
+    pairs[rows_w, base_w + 6] = np.where(
+        k_leaf, meta0_leaf[k_ids], wide_meta0_of[k_ids]).astype(np.float32)
+    pairs[rows_w, base_w + 7] = np.where(k_leaf, meta1_leaf[k_ids], 0).astype(np.float32)
+
+    pairs[0, 0] = wide_meta0_of[0]
+    pairs[0, 1] = 0.0
+    pairs[0, 2:5] = nodes["min"][0]
+    pairs[0, 5:8] = nodes["max"][0]
+
+    vmem = pairs.nbytes + leaf_geo.nbytes
+    return PacketTables(
+        pairs, leaf_geo, n, vmem,
+        collapsed_nodes=nodes, wide=True,
+        plan_wrow=rows_w, plan_wbase=base_w, plan_wnode=k_ids,
+        plan_leaf_slot=plan_slot, plan_leaf_row=plan_lrow,
+        plan_leaf_base=plan_lbase, collapse_map=collapse_map,
+    )
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclass
 class PacketScene:
     pairs: jnp.ndarray
     leaf_geo: jnp.ndarray
+    wide: bool = False
 
     def tree_flatten(self):
-        return (self.pairs, self.leaf_geo), None
+        return (self.pairs, self.leaf_geo), self.wide
 
     @classmethod
     def tree_unflatten(cls, aux, ch):
-        return cls(*ch)
+        return cls(*ch, wide=aux)
 
     @staticmethod
     def from_tables(t: PacketTables) -> "PacketScene":
-        return PacketScene(jnp.asarray(t.pairs), jnp.asarray(t.leaf_geo))
+        return PacketScene(jnp.asarray(t.pairs), jnp.asarray(t.leaf_geo),
+                           wide=t.wide)
 
 
 # ---------------------------------------------------------------------------
@@ -367,7 +564,7 @@ def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
     return (tf >= tn) & (tn <= t_best), tn
 
 
-def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS):
+def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
     packet = rows * 128
     def kernel(
         pairs_hbm, leaf_hbm,
@@ -486,6 +683,62 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS):
                     )
                 return sp, t_best, slot, u, v
 
+            def interior_wide_case(args):
+                # 8-wide node: one pop tests all 8 child boxes; per-child
+                # any-hit counts come from 4 packed reduces (2×16-bit fields)
+                # whose scalar reads pipeline — 3 binary levels per sync.
+                sp, t_best, slot, u, v = args
+                axis = m0 & 3
+                wnode = m0 >> 2
+                row = 1 + (wnode >> 1)
+
+                def whalf(off):
+                    def inner(_):
+                        sl = lambda j: pairs_ref[row, off + j]
+                        hs, mets = [], []
+                        for c in range(8):
+                            b = c * 8
+                            h, _tn = _slab(
+                                ox, oy, oz, ix, iy, iz,
+                                sl(b), sl(b + 1), sl(b + 2),
+                                sl(b + 3), sl(b + 4), sl(b + 5), t_best,
+                            )
+                            hs.append(h.astype(jnp.int32))
+                            mets.append(sl(b + 6).astype(jnp.int32))
+                            mets.append(sl(b + 7).astype(jnp.int32))
+                        sums = [
+                            jnp.sum(hs[2 * i] + (hs[2 * i + 1] << 16))
+                            for i in range(4)
+                        ]
+                        return (*mets, *sums)
+
+                    return inner
+
+                vals = jax.lax.switch(wnode & 1, [whalf(0), whalf(64)], None)
+                m0s = [vals[2 * c] for c in range(8)]
+                m1s = [vals[2 * c + 1] for c in range(8)]
+                ns = []
+                for i in range(4):
+                    s = vals[16 + i]
+                    ns.append(s & 0xFFFF)
+                    ns.append(s >> 16)
+                neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
+                # children sorted ascending along axis at build time; push
+                # far-to-near: positive dir → push 7..0 (pop 0 first)
+                for k in range(8):
+                    pm0 = jnp.where(neg, m0s[k], m0s[7 - k])
+                    pm1 = jnp.where(neg, m1s[k], m1s[7 - k])
+                    pn = jnp.where(neg, ns[k], ns[7 - k])
+                    do = pn > 0
+
+                    @pl.when(do)
+                    def _(pm0=pm0, pm1=pm1, sp=sp):
+                        stack0_ref[sp] = pm0
+                        stack1_ref[sp] = pm1
+
+                    sp = sp + do.astype(jnp.int32)
+                return sp, t_best, slot, u, v
+
             def interior_case(args):
                 sp, t_best, slot, u, v = args
                 axis = m0 & 3
@@ -547,7 +800,9 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS):
                 return sp, t_best, slot, u, v
 
             sp, t_best, slot, u, v = jax.lax.cond(
-                is_leaf, leaf_case, interior_case, (sp, t_best, slot, u, v)
+                is_leaf, leaf_case,
+                interior_wide_case if wide else interior_case,
+                (sp, t_best, slot, u, v),
             )
             if any_hit:
                 # the cross-lane reduce is expensive — poll for whole-packet
@@ -610,7 +865,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
         jax.ShapeDtypeStruct(shape8, jnp.float32),
     ]
     t, slot, u, v = pl.pallas_call(
-        _make_kernel(any_hit, rows),
+        _make_kernel(any_hit, rows, wide=ps.wide),
         grid=(n_pk,),
         in_specs=[
             hbm(), hbm(),

@@ -66,8 +66,9 @@ def main():
 
     reps = int(os.environ.get("IDK_BENCH_REPS", 8))
     t0 = time.time()
-    for _ in range(reps):
-        hit = packet_trace_closest(ps, o, d, tm)
+    for i in range(reps):
+        # salt each rep (the axon pool memoizes identical-args executions)
+        hit = packet_trace_closest(ps, o, d, tm * (1.0 + (i + 1) * 1e-6))
     hit.t.block_until_ready()
     dt = time.time() - t0
     mrays = w * h * reps / dt / 1e6
