@@ -52,7 +52,7 @@ BOUNCE_ROWS = int(__import__('os').environ.get('IDK_BOUNCE_ROWS', '32'))
 # Triangles per leaf. 12 (one leaf per 128-lane row, 108 lanes) measured
 # faster than 6 (two leaves/row): interior-iteration overhead dominates the
 # packet loop, so fewer+fatter leaves win even for incoherent packets.
-MAX_LEAF_PACKET = 12
+MAX_LEAF_PACKET = int(__import__('os').environ.get('IDK_MAX_LEAF', '12'))
 LEAVES_PER_ROW = max(1, 108 // (MAX_LEAF_PACKET * 9))
 STACK_DEPTH = 128
 # VMEM budget for the resident pair+leaf tables (the ray blocks, outputs and
@@ -62,6 +62,9 @@ PACKET_VMEM_BUDGET = 13_000_000
 # vector→scalar sync instead of 1. Default on; IDK_WIDE=0 falls back to the
 # sibling-pair kernel.
 WIDE = bool(int(__import__('os').environ.get('IDK_WIDE', '1')))
+# child any-hit reduction: 'sum4' = 4 packed jnp.sum reduces,
+# 'orroll' = per-lane bitmask + log-step bitwise-OR rolls + 1 extraction
+REDUCE = __import__('os').environ.get('IDK_REDUCE', 'sum4')
 
 
 # ---------------------------------------------------------------------------
@@ -564,16 +567,20 @@ def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
     return (tf >= tn) & (tn <= t_best), tn
 
 
-def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
+def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
+                 debug_iters: bool = False):
     packet = rows * 128
     def kernel(
         pairs_hbm, leaf_hbm,
         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
         t_ref, slot_ref, u_ref, v_ref,
-        pairs_ref, leaf_ref,  # VMEM scratch (persist across grid steps)
-        stack0_ref, stack1_ref,  # SMEM stacks of (meta0, meta1) i32
-        dma_sems,
+        *rest,
     ):
+        if debug_iters:
+            (iters_ref, pairs_ref, leaf_ref, stack0_ref, stack1_ref,
+             dma_sems) = rest
+        else:
+            pairs_ref, leaf_ref, stack0_ref, stack1_ref, dma_sems = rest
         @pl.when(pl.program_id(0) == 0)
         def _():
             cp = pltpu.make_async_copy(pairs_hbm, pairs_ref, dma_sems.at[0])
@@ -706,6 +713,20 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
                             hs.append(h.astype(jnp.int32))
                             mets.append(sl(b + 6).astype(jnp.int32))
                             mets.append(sl(b + 7).astype(jnp.int32))
+                        if REDUCE == "orroll":
+                            # per-lane 8-bit child mask, OR-combined across
+                            # lanes/sublanes in log steps — ONE vector→scalar
+                            # sync per node visit instead of four
+                            m = hs[0]
+                            for c in range(1, 8):
+                                m = m | (hs[c] << c)
+                            for sh in (64, 32, 16, 8, 4, 2, 1):
+                                m = m | pltpu.roll(m, sh, axis=1)
+                            sh = rows // 2
+                            while sh >= 1:
+                                m = m | pltpu.roll(m, sh, axis=0)
+                                sh //= 2
+                            return (*mets, jnp.sum(jax.lax.slice(m, (0, 0), (1, 1))))
                         sums = [
                             jnp.sum(hs[2 * i] + (hs[2 * i + 1] << 16))
                             for i in range(4)
@@ -718,10 +739,14 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
                 m0s = [vals[2 * c] for c in range(8)]
                 m1s = [vals[2 * c + 1] for c in range(8)]
                 ns = []
-                for i in range(4):
-                    s = vals[16 + i]
-                    ns.append(s & 0xFFFF)
-                    ns.append(s >> 16)
+                if REDUCE == "orroll":
+                    bits = vals[16]
+                    ns = [(bits >> c) & 1 for c in range(8)]
+                else:
+                    for i in range(4):
+                        s = vals[16 + i]
+                        ns.append(s & 0xFFFF)
+                        ns.append(s >> 16)
                 neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
                 # children sorted ascending along axis at build time; push
                 # far-to-near: positive dir → push 7..0 (pop 0 first)
@@ -804,11 +829,11 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
                 interior_wide_case if wide else interior_case,
                 (sp, t_best, slot, u, v),
             )
+            # iteration counter; high 16 bits count leaf visits (debug)
+            it = c[5] + 1 + jnp.where(is_leaf, jnp.int32(1 << 16), 0)
             if any_hit:
                 # the cross-lane reduce is expensive — poll for whole-packet
                 # termination only every 16 iterations
-                it = c[5] + 1
-
                 def check(sp):
                     all_done = (
                         jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32))
@@ -817,25 +842,23 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False):
                     return jnp.where(all_done, 0, sp)
 
                 sp = jax.lax.cond((it & 15) == 0, check, lambda sp: sp, sp)
-                return sp, t_best, slot, u, v, it
-            return sp, t_best, slot, u, v
+            return sp, t_best, slot, u, v, it
 
-        if any_hit:
-            _, t, slot, u, v, _ = jax.lax.while_loop(
-                cond, body, (sp0, t0, slot0, u0, v0, jnp.int32(0))
-            )
-        else:
-            _, t, slot, u, v = jax.lax.while_loop(cond, body, (sp0, t0, slot0, u0, v0))
+        _, t, slot, u, v, iters = jax.lax.while_loop(
+            cond, body, (sp0, t0, slot0, u0, v0, jnp.int32(0))
+        )
         t_ref[:] = t
         slot_ref[:] = slot
         u_ref[:] = u
         v_ref[:] = v
+        if debug_iters:
+            iters_ref[:] = jnp.full((rows, 128), iters, jnp.int32)
 
     return kernel
 
 
 def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
-                  rows: int = PACKET_ROWS):
+                  rows: int = PACKET_ROWS, debug_iters: bool = False):
     r = o.shape[0]
     packet = rows * 128
     pad = (-r) % packet
@@ -864,14 +887,18 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
         jax.ShapeDtypeStruct(shape8, jnp.float32),
         jax.ShapeDtypeStruct(shape8, jnp.float32),
     ]
-    t, slot, u, v = pl.pallas_call(
-        _make_kernel(any_hit, rows, wide=ps.wide),
+    out_specs = [ray_spec, ray_spec, ray_spec, ray_spec]
+    if debug_iters:
+        out_shapes.append(jax.ShapeDtypeStruct(shape8, jnp.int32))
+        out_specs.append(ray_spec)
+    outs = pl.pallas_call(
+        _make_kernel(any_hit, rows, wide=ps.wide, debug_iters=debug_iters),
         grid=(n_pk,),
         in_specs=[
             hbm(), hbm(),
             ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
         ],
-        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM(ps.pairs.shape, jnp.float32),
@@ -882,10 +909,14 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
         ],
         interpret=interpret,
     )(ps.pairs, ps.leaf_geo, ox, oy, oz, dx, dy, dz, tm)
-    return Hit(
+    t, slot, u, v = outs[:4]
+    hit = Hit(
         t=t.reshape(rp)[:r], slot=slot.reshape(rp)[:r],
         u=u.reshape(rp)[:r], v=v.reshape(rp)[:r],
     )
+    if debug_iters:
+        return hit, outs[4].reshape(rp)[:r]
+    return hit
 
 
 # test hook: force interpreter mode (Mosaic kernels cannot compile on CPU)

@@ -170,23 +170,28 @@ class PathTracer:
         swz_np = tile_swizzle(width, height)
         self._swz = jnp.asarray(swz_np)
         self._inv_swz = jnp.asarray(np.argsort(swz_np).astype(np.int32))
-        # packed per-hit attribute tables: one wide gather instead of six
-        # (TPU gathers are latency-bound per row)
-        self._attr_f = jnp.concatenate(
-            [jnp.asarray(scene.tri_uv).reshape(-1, 6),
-             jnp.asarray(scene.tri_gn)], axis=-1,
-        )
-        self._attr_i = jnp.concatenate(
-            [jnp.asarray(scene.tri_n).astype(jnp.int32),
-             jnp.asarray(scene.tri_mat)[:, None].astype(jnp.int32)], axis=-1,
-        )
+        # ONE packed per-hit attribute table: XLA gather on TPU costs per
+        # OUTPUT ROW (flat in width — measured ~25 ms per 2M-row gather
+        # regardless of table size), so material factors are baked per
+        # triangle slot and the whole hit fetch is a single wide gather.
         m = self.mats
-        self._mat_f = jnp.concatenate(
-            [m["base_color"][:, :3], m["emissive"],
-             m["metallic"][:, None], m["roughness"][:, None],
-             m["transmission"][:, None], m["ior"][:, None],
-             m["absorbance"]], axis=-1,
-        ).astype(jnp.float32)
+        mat_np = np.asarray(scene.tri_mat).astype(np.int64)
+        mat_f = np.concatenate(
+            [np.asarray(m["base_color"])[:, :3], np.asarray(m["emissive"]),
+             np.asarray(m["metallic"])[:, None],
+             np.asarray(m["roughness"])[:, None],
+             np.asarray(m["transmission"])[:, None],
+             np.asarray(m["ior"])[:, None],
+             np.asarray(m["absorbance"])], axis=-1,
+        ).astype(np.float32)  # (M,13)
+        n_slots = mat_np.shape[0]
+        attr = np.zeros((n_slots, 32), np.float32)
+        attr[:, 0:6] = np.asarray(scene.tri_uv).reshape(-1, 6)
+        attr[:, 6:9] = np.asarray(scene.tri_gn)
+        attr[:, 9:12] = np.asarray(scene.tri_n).astype(np.uint32).view(np.float32)
+        attr[:, 12:25] = mat_f[mat_np]
+        attr[:, 25] = mat_np.astype(np.float32)
+        self._attr = jnp.asarray(attr)
 
     # -- settings with reset semantics (ref: PathTracer.cs setters) -------
     def set_settings(self, **kw):
@@ -244,19 +249,31 @@ class PathTracer:
                                         rows=rows)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
+        def _morton_spread(v):
+            # interleave 8 bits with 2-bit gaps
+            v = (v | (v << 8)) & 0x0300F00F
+            v = (v | (v << 4)) & 0x030C30C3
+            v = (v | (v << 2)) & 0x09249249
+            return v
+
+        def _origin_cell(o_, bits=8):
+            n = float(1 << bits)
+            q = jnp.clip(
+                (o_ - scene_lo) / jnp.maximum(scene_ext, 1e-6) * n, 0.0, n - 1.0
+            ).astype(jnp.int32)
+            return (_morton_spread(q[:, 0]) << 2) | (_morton_spread(q[:, 1]) << 1) \
+                | _morton_spread(q[:, 2])
+
         def _ray_sort_key(o_, d_):
-            # direction octant (3 bits) then quantized-origin Morton-ish key:
-            # groups bounce rays into spatially+directionally coherent packets
+            # direction octant (3 bits) then Morton-interleaved origin cell:
+            # compact cubic cells shrink each packet's BVH-node union
+            # (raster-order cells measured 15% more traversal iterations)
             oct_ = (
                 (d_[:, 0] >= 0).astype(jnp.int32)
                 + 2 * (d_[:, 1] >= 0).astype(jnp.int32)
                 + 4 * (d_[:, 2] >= 0).astype(jnp.int32)
             )
-            q = jnp.clip(
-                (o_ - scene_lo) / jnp.maximum(scene_ext, 1e-6) * 32.0, 0.0, 31.0
-            ).astype(jnp.int32)
-            cell = (q[:, 0] << 10) | (q[:, 1] << 5) | q[:, 2]
-            return (oct_ << 15) | cell
+            return (oct_ << 24) | _origin_cell(o_)
 
         scene_lo = scene.node_min[0]
         scene_ext = scene.node_max[0] - scene.node_min[0]
@@ -332,17 +349,17 @@ class PathTracer:
                 count_hit = hit_light & (last_delta | (not s.nee))
                 radiance = radiance + jnp.where(count_hit[..., None], throughput * l_emit, 0.0)
 
-            # -- surface hit: shade. Hit-attribute fetch = TWO wide gathers
-            # from pre-packed tables (TPU gathers cost per row, not per
-            # byte), then one material-table gather.
+            # -- surface hit: shade. Hit-attribute fetch = ONE wide gather
+            # from the packed per-slot table (TPU gathers cost per row, not
+            # per byte — material factors ride along for free).
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            af = self._attr_f[slot]  # (R,9): uv0,uv1,uv2 (6), gn (3)
-            ai = self._attr_i[slot]  # (R,4): n0,n1,n2 compressed, mat_id
-            n0 = decompress_normal(ai[:, 0].astype(jnp.uint32), jnp)
-            n1 = decompress_normal(ai[:, 1].astype(jnp.uint32), jnp)
-            n2 = decompress_normal(ai[:, 2].astype(jnp.uint32), jnp)
+            af = self._attr[slot]  # (R,32) packed slot attributes
+            an = af[:, 9:12].view(jnp.uint32)
+            n0 = decompress_normal(an[:, 0], jnp)
+            n1 = decompress_normal(an[:, 1], jnp)
+            n2 = decompress_normal(an[:, 2], jnp)
             ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
             ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
             gn = af[:, 6:9]
@@ -356,8 +373,8 @@ class PathTracer:
                 + af[:, 2:4] * u_b[..., None]
                 + af[:, 4:6] * v_b[..., None]
             )
-            mat_id = ai[:, 3]
-            mf = self._mat_f[mat_id]  # (R,13) packed material factors
+            mat_id = af[:, 25].astype(jnp.int32)
+            mf = af[:, 12:25]  # packed material factors (baked per slot)
             albedo = mf[:, 0:3]
             emissive = mf[:, 3:6]
             metallic = mf[:, 6]
@@ -393,7 +410,12 @@ class PathTracer:
             # (solid-angle sampling, ref: Sampling.glsl + the RT-shadows
             # kernel ShadowsRayTraced/compute.glsl:49-125)
             if s.nee and s.light_spheres and self.n_lights > 0:
-                if use_packet and self.n_lights > 1:
+                # after a bounce the hit points are scattered (the ray sort
+                # keyed on the bounce-ray ORIGIN, not where it landed), so
+                # shadow rays get their OWN sort by (light, landing cell) —
+                # profiled 191 ms -> ~40 ms for the bounce-NEE any trace
+                sort_shadow = use_packet and bounce > 0
+                if use_packet and self.n_lights > 1 and not sort_shadow:
                     # pick the light PER PACKET, not per ray: every ray in a
                     # traversal packet aims at the same light so the shadow
                     # packet's node union stays small (stratified by packet
@@ -421,8 +443,25 @@ class PathTracer:
                 do_nee = hit_tri & (cos_s > 0.0) & sh_hit
                 rays_traced = rays_traced + jnp.sum(do_nee.astype(jnp.float32))
                 sh_tmax = jnp.where(do_nee, sh_t - 2.0 * eps_o, -1.0)
-                occluded = _occluded(hp_point + gn * eps_o[..., None], ldir,
-                                     sh_tmax, rows=trace_rows)
+                sh_o = hp_point + gn * eps_o[..., None]
+                if sort_shadow:
+                    cell = _origin_cell(hp_point)
+                    skey = jnp.where(do_nee, (li << 24) | (cell >> 3),
+                                     jnp.int32(0x7FFFFFFF))
+                    idx = jnp.arange(r, dtype=jnp.int32)
+                    (_, sox, soy, soz, sdx, sdy, sdz, stm, sidx) = jax.lax.sort(
+                        (skey, sh_o[:, 0], sh_o[:, 1], sh_o[:, 2],
+                         ldir[:, 0], ldir[:, 1], ldir[:, 2], sh_tmax, idx),
+                        num_keys=1, is_stable=False)
+                    occ_s = _occluded(jnp.stack([sox, soy, soz], -1),
+                                      jnp.stack([sdx, sdy, sdz], -1),
+                                      stm, rows=trace_rows)
+                    _, occ_i = jax.lax.sort(
+                        (sidx, occ_s.astype(jnp.int32)), num_keys=1,
+                        is_stable=False)
+                    occluded = occ_i != 0
+                else:
+                    occluded = _occluded(sh_o, ldir, sh_tmax, rows=trace_rows)
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)

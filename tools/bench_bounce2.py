@@ -34,7 +34,8 @@ def main():
     keymode = os.environ.get("IDK_KEY", "octcell")
 
     db = SceneDatabase(BuildSettings(
-        max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0))
+        max_leaf_triangle_count=int(os.environ.get("IDK_MAX_LEAF", 12)),
+        traversal_cost=4.0, presplit_factor=0.0))
     db.add_model(atrium(110_000))
     sc = db.build()
     ps = db.packet_scene
