@@ -47,6 +47,17 @@ def main():
               f"total={it.sum()} leaf_total={lf.sum()}")
         return hit
 
+    def stats_any(name, o_, d_, tm_):
+        res = jax.jit(
+            lambda o, d, t: _pallas_trace(ps, o, d, t, True, False,
+                                          rows=rows, debug_iters=True)
+        )(o_, d_, tm_)
+        raw = np.asarray(res[1])[:: rows * 128].astype(np.int64)
+        it = raw & 0xFFFF
+        lf = raw >> 16
+        print(f"{name}: iters mean={it.mean():.1f} (leaf {lf.mean():.1f}) "
+              f"total={it.sum()}")
+
     hit = stats("primary", o, d, tm)
 
     # bounce rays: cosine hemisphere around geometric normal
@@ -112,6 +123,28 @@ def main():
         tm3 = jnp.where(missed[mperm], jnp.float32(3.4e38), -1.0)
         h2 = stats(f"  miss retrace ({n_miss} rays, {100*n_miss/(w*h):.0f}%)",
                    o2s[mperm], d2s[mperm], tm3)
+
+    # ---- NEE shadow rays from BOUNCE hit points: forward vs reversed ----
+    h2 = jax.jit(lambda o, d, t: _pallas_trace(ps, o, d, t, False, False,
+                                               rows=rows))(o2s, d2s, tm2s)
+    hp2 = o2s + d2s * h2.t[:, None]
+    alive2 = h2.slot >= 0
+    lpos = jnp.array([0.0, 10.5, 0.0])
+    ld = lpos[None, :] - hp2
+    ldist = jnp.linalg.norm(ld, axis=-1)
+    ldn = ld / jnp.maximum(ldist[:, None], 1e-9)
+    so = hp2 + ldn * 1e-3
+    stm = jnp.where(alive2, ldist - 2e-3, -1.0)
+    # sort by landing cell
+    n = 1 << 7
+    q = jnp.clip((hp2 - lo) / jnp.maximum(ext, 1e-6) * n, 0, n - 1).astype(jnp.int32)
+    cellh = (spread(q[:, 0], 7) << 2) | (spread(q[:, 1], 7) << 1) | spread(q[:, 2], 7)
+    kk = jnp.where(alive2, cellh, jnp.int32(0x7FFFFFFF))
+    p2 = jnp.argsort(kk)
+    stats_any("shadow fwd sorted", so[p2], ldn[p2], stm[p2])
+    # reversed: origin at light, direction toward surface
+    ro = jnp.broadcast_to(lpos, so.shape)
+    stats_any("shadow rev sorted", ro[p2], (-ldn)[p2], stm[p2])
 
     # no-octant key (origin-only morton) with cap
     n = 1 << 7
