@@ -27,7 +27,8 @@ import numpy as np
 
 from ..ops.intersect import ray_sphere
 from ..ops.packet_trace import (
-    BOUNCE_ROWS, PACKET, PACKET_ROWS, packet_trace_any, packet_trace_closest)
+    BOUNCE_ROWS, PACKET, PACKET_ROWS, packet_trace_any, packet_trace_closest,
+    segment_wave_key)
 from ..ops.trace import SceneArrays, trace_any, trace_closest
 from ..utils import rng
 from ..utils.compression import decompress_normal
@@ -147,9 +148,14 @@ class PathTracer:
         settings: PathTracerSettings | None = None,
         env_map: np.ndarray | None = None,
         packet_scene=None,
+        wave_boxes=None,
     ):
         self.scene = scene
         self.packet_scene = packet_scene
+        # (S,3) min/max segment root boxes: enables the segment sort key
+        # (ops/packet_trace.segment_wave_key) for bounce coherence
+        self.wave_boxes = None if wave_boxes is None else (
+            jnp.asarray(wave_boxes[0]), jnp.asarray(wave_boxes[1]))
         self.mats = {k: jnp.asarray(v) for k, v in materials.items() if k != "count"}
         self.lights = {k: jnp.asarray(v) for k, v in lights.items() if k != "count"}
         self.n_lights = int(lights.get("count", 0))
@@ -205,14 +211,20 @@ class PathTracer:
 
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
-                       packet_scene):
+                       packet_scene, wave_boxes):
         # packet_scene travels as an ARGUMENT: closing over the tables bakes
         # them into the HLO as constants (a 2.8M-tri scene is ~150 MB of
         # tables — blows up the compile payload)
         s = self.settings
         w, h = self.width, self.height
         r = w * h
-        use_packet = s.use_packet_tracer and packet_scene is not None
+        # Mosaic kernels only compile for TPU; on CPU fall back to the XLA
+        # threaded trace (tests opt into interpret mode explicitly)
+        from ..ops import packet_trace as _pt
+
+        use_packet = (s.use_packet_tracer and packet_scene is not None
+                      and (jax.default_backend() != "cpu"
+                           or _pt.FORCE_INTERPRET))
         # tile-swizzled launch order: ray i belongs to pixel swz[i]
         swz = self._swz if use_packet else jnp.arange(r, dtype=jnp.int32)
         pix = swz.astype(jnp.uint32)
@@ -264,10 +276,16 @@ class PathTracer:
             return (_morton_spread(q[:, 0]) << 2) | (_morton_spread(q[:, 1]) << 1) \
                 | _morton_spread(q[:, 2])
 
-        def _ray_sort_key(o_, d_):
-            # direction octant (3 bits) then Morton-interleaved origin cell:
-            # compact cubic cells shrink each packet's BVH-node union
-            # (raster-order cells measured 15% more traversal iterations)
+        def _ray_sort_key(o_, d_, alive_):
+            # Preferred: nearest-BVH-segment nested grouping (aligns packets
+            # with tree topology; measured 197->148 ms on atrium bounce
+            # closest vs the octant+cell key — tools/bench_waves.py). Falls
+            # back to direction octant (3 bits) + Morton origin cell.
+            if wave_boxes is not None:
+                tm_ = jnp.where(alive_, jnp.float32(3.4e38), -1.0)
+                return segment_wave_key(
+                    o_, d_, tm_, wave_boxes[0], wave_boxes[1],
+                    scene_lo, scene_ext)
             oct_ = (
                 (d_[:, 0] >= 0).astype(jnp.int32)
                 + 2 * (d_[:, 1] >= 0).astype(jnp.int32)
@@ -293,7 +311,7 @@ class PathTracer:
                 # to the end: packets become either fully alive or fully
                 # dead, and dead packets exit at the root test in one step.
                 keyv = jnp.where(
-                    alive, _ray_sort_key(o, d), jnp.int32(0x7FFFFFFF))
+                    alive, _ray_sort_key(o, d, alive), jnp.int32(0x7FFFFFFF))
                 flags = (
                     alive.astype(jnp.int32)
                     | (inside.astype(jnp.int32) << 1)
@@ -318,7 +336,7 @@ class PathTracer:
                 state = st_.astype(jnp.uint32)
             rays_traced = rays_traced + jnp.sum(alive.astype(jnp.float32))
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
-            sort_key = _ray_sort_key(o, d) if bounce > 0 else None
+            sort_key = _ray_sort_key(o, d, alive) if bounce > 0 else None
             trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
             hit = _closest(o, d, t_max, sort_key, rows=trace_rows)
 
@@ -533,7 +551,7 @@ class PathTracer:
         for _ in range(self.settings.spp_per_frame):
             radiance, alb, nrm, dep, nrays = fn(
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
-                jnp.uint32(self._frame), self.packet_scene,
+                jnp.uint32(self._frame), self.packet_scene, self.wave_boxes,
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

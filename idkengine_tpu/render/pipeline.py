@@ -283,6 +283,8 @@ class PathTracerPipeline:
             scene_db.lights.soa(),
             width, height, pt_settings, env_map=env_map,
             packet_scene=scene_db.packet_scene,
+            wave_boxes=(None if scene_db.wave_seg_min is None else
+                        (scene_db.wave_seg_min, scene_db.wave_seg_max)),
         )
         self.width, self.height = width, height
 

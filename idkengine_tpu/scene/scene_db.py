@@ -183,6 +183,10 @@ class SceneDatabase:
 
         self.packet_scene = None
         self._packet_tables = None
+        self.wave_scene = None  # tuple of segment PacketScenes for wave trace
+        self.wave_seg_min = None  # (S,3) f32 segment root boxes
+        self.wave_seg_max = None
+        self._wave_tables = None
         if self.build_settings.max_leaf_triangle_count <= MAX_LEAF_PACKET:
             try:
                 tables = build_packet_tables(
@@ -192,6 +196,7 @@ class SceneDatabase:
                 if tables.vmem_bytes <= PACKET_VMEM_BUDGET:
                     self._packet_tables = tables
                     self.packet_scene = PacketScene.from_tables(tables)
+                    self._build_wave_scene(tables.vmem_bytes)
                 else:
                     # VMEM-segmented big scene: subtree tables that each fit
                     # the budget, chained at trace time with a carried t_max
@@ -199,6 +204,7 @@ class SceneDatabase:
                         self.blas.nodes, self.blas.tri_indices,
                         self._verts, self._indices, PACKET_VMEM_BUDGET,
                     )
+                    self._pad_tables_common(segs)
                     self._packet_tables = segs
                     self.packet_scene = tuple(
                         PacketScene.from_tables(t) for t in segs
@@ -212,6 +218,64 @@ class SceneDatabase:
                     )
             except AssertionError as e:
                 log.warning("packet tables unavailable: %s", e)
+        if self.packet_scene is not None and self.wave_scene is None and \
+                isinstance(self.packet_scene, tuple):
+            # over-budget scene: its chained segments double as wave segments
+            self._wave_tables = self._packet_tables
+            self.wave_scene = self.packet_scene
+            self._set_wave_boxes(self._packet_tables)
+
+    def _build_wave_scene(self, total_bytes: int):
+        """Segment the BVH into ~IDK_WAVE_SEGS treelets for the wave tracer
+        (ops/packet_trace.py segment-wave section). Incoherent bounce and
+        shadow rays re-sorted by nearest-segment keys traverse ONE small
+        subtree per packet with dense lanes — the TPU analogue of the
+        reference's hit-key counting sort (PathTracer.cs:273-297)."""
+        import os
+
+        from ..ops.packet_trace import (
+            PacketScene, build_packet_tables_segmented)
+
+        n_segs = int(os.environ.get("IDK_WAVE_SEGS", "16"))
+        if n_segs <= 1:
+            return
+        budget = max(total_bytes // n_segs, 200_000)
+        try:
+            segs = build_packet_tables_segmented(
+                self.blas.nodes, self.blas.tri_indices,
+                self._verts, self._indices, budget)
+        except AssertionError as e:
+            log.warning("wave segments unavailable: %s", e)
+            return
+        self._wave_tables = segs
+        self._pad_tables_common(segs)
+        self.wave_scene = tuple(PacketScene.from_tables(t) for t in segs)
+        self._set_wave_boxes(segs)
+        log.info("wave tracer: %d segments (max %.2f MB)", len(segs),
+                 max(t.vmem_bytes for t in segs) / 1e6)
+
+    @staticmethod
+    def _pad_tables_common(tables):
+        """Zero-pad every segment's node/leaf tables to one common shape so
+        a SINGLE Mosaic kernel compilation serves all segments (distinct
+        shapes would each compile their own kernel — minutes per segment)."""
+        pr = max(t.pairs.shape[0] for t in tables)
+        lr = max(t.leaf_geo.shape[0] for t in tables)
+        for t in tables:
+            if t.pairs.shape[0] < pr:
+                t.pairs = np.concatenate(
+                    [t.pairs, np.zeros((pr - t.pairs.shape[0], 128),
+                                       np.float32)])
+            if t.leaf_geo.shape[0] < lr:
+                t.leaf_geo = np.concatenate(
+                    [t.leaf_geo, np.zeros((lr - t.leaf_geo.shape[0], 128),
+                                          np.float32)])
+
+    def _set_wave_boxes(self, tables):
+        self.wave_seg_min = np.stack(
+            [t.pairs[0, 2:5] for t in tables]).astype(np.float32)
+        self.wave_seg_max = np.stack(
+            [t.pairs[0, 5:8] for t in tables]).astype(np.float32)
 
     # ------------------------------------------------------------------
     def update(self, time: float, animation_index: int = 0) -> SceneArrays:
@@ -295,6 +359,16 @@ class SceneDatabase:
                     self._indices,
                 )
                 self.packet_scene = PacketScene.from_tables(self._packet_tables)
+        if self.wave_scene is not None and \
+                self._wave_tables is not self._packet_tables:
+            from ..ops.packet_trace import PacketScene
+
+            for t in self._wave_tables:
+                t.refresh(self.blas.nodes, self.blas.tri_indices,
+                          self._verts, self._indices)
+            self.wave_scene = tuple(
+                PacketScene.from_tables(t) for t in self._wave_tables)
+            self._set_wave_boxes(self._wave_tables)
         return self.device_scene
 
     # ------------------------------------------------------------------
