@@ -567,57 +567,27 @@ def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
     return (tf >= tn) & (tn <= t_best), tn
 
 
-def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
-                 debug_iters: bool = False):
-    packet = rows * 128
-    def kernel(
-        pairs_hbm, leaf_hbm,
-        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
-        t_ref, slot_ref, u_ref, v_ref,
-        *rest,
-    ):
-        if debug_iters:
-            (iters_ref, pairs_ref, leaf_ref, stack0_ref, stack1_ref,
-             dma_sems) = rest
-        else:
-            pairs_ref, leaf_ref, stack0_ref, stack1_ref, dma_sems = rest
-        @pl.when(pl.program_id(0) == 0)
-        def _():
-            cp = pltpu.make_async_copy(pairs_hbm, pairs_ref, dma_sems.at[0])
-            cp.start()
-            cp.wait()
-            cp = pltpu.make_async_copy(leaf_hbm, leaf_ref, dma_sems.at[1])
-            cp.start()
-            cp.wait()
-
-        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
-        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
-        t_max = tmax_ref[:]
-        tiny = jnp.float32(1e-20)
-        sgn = lambda d: jnp.where(d < 0, -tiny, tiny)
-        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny, sgn(dx), dx)
-        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, sgn(dy), dy)
-        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, sgn(dz), dz)
-
-        # packet's dominant direction sign per axis (near/far ordering)
-        neg_x = jnp.sum(dx) < 0.0
-        neg_y = jnp.sum(dy) < 0.0
-        neg_z = jnp.sum(dz) < 0.0
-
+def _build_run_seg(any_hit, rows, wide, packet,
+                   ox, oy, oz, dx, dy, dz, ix, iy, iz,
+                   neg_x, neg_y, neg_z, stack0_ref, stack1_ref):
+    """One full stack traversal of one node/leaf table pair against the
+    packet's rays. Shared by the whole-table kernel and the multi-steer
+    kernel (which runs it once per steered segment with a fresh t_maxk)."""
+    def run_seg(pairs_ref, leaf_ref, t_maxk):
         rm0 = pairs_ref[0, 0].astype(jnp.int32)
         rm1 = pairs_ref[0, 1].astype(jnp.int32)
         rhit, _ = _slab(
             ox, oy, oz, ix, iy, iz,
             pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
             pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7],
-            t_max,
+            t_maxk,
         )
         any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
         stack0_ref[0] = rm0
         stack1_ref[0] = rm1
         sp0 = jnp.where(any_root, jnp.int32(1), jnp.int32(0))
 
-        t0 = t_max
+        t0 = t_maxk
         slot0 = jnp.full((rows, 128), -1, jnp.int32)
         u0 = jnp.zeros((rows, 128), jnp.float32)
         v0 = jnp.zeros((rows, 128), jnp.float32)
@@ -836,7 +806,7 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
                 # termination only every 16 iterations
                 def check(sp):
                     all_done = (
-                        jnp.sum(((t_best < t_max) | (t_max <= 0.0)).astype(jnp.int32))
+                        jnp.sum(((t_best < t_maxk) | (t_maxk <= 0.0)).astype(jnp.int32))
                         >= packet
                     )
                     return jnp.where(all_done, 0, sp)
@@ -847,6 +817,53 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
         _, t, slot, u, v, iters = jax.lax.while_loop(
             cond, body, (sp0, t0, slot0, u0, v0, jnp.int32(0))
         )
+        return t, slot, u, v, iters
+
+    return run_seg
+
+
+def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
+                 debug_iters: bool = False):
+    packet = rows * 128
+    def kernel(
+        pairs_hbm, leaf_hbm,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        t_ref, slot_ref, u_ref, v_ref,
+        *rest,
+    ):
+        if debug_iters:
+            (iters_ref, pairs_ref, leaf_ref, stack0_ref, stack1_ref,
+             dma_sems) = rest
+        else:
+            pairs_ref, leaf_ref, stack0_ref, stack1_ref, dma_sems = rest
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            cp = pltpu.make_async_copy(pairs_hbm, pairs_ref, dma_sems.at[0])
+            cp.start()
+            cp.wait()
+            cp = pltpu.make_async_copy(leaf_hbm, leaf_ref, dma_sems.at[1])
+            cp.start()
+            cp.wait()
+
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_max = tmax_ref[:]
+        tiny = jnp.float32(1e-20)
+        sgn = lambda d: jnp.where(d < 0, -tiny, tiny)
+        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny, sgn(dx), dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, sgn(dy), dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, sgn(dz), dz)
+
+        # packet's dominant direction sign per axis (near/far ordering)
+        neg_x = jnp.sum(dx) < 0.0
+        neg_y = jnp.sum(dy) < 0.0
+        neg_z = jnp.sum(dz) < 0.0
+
+        run_seg = _build_run_seg(
+            any_hit, rows, wide, packet,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            neg_x, neg_y, neg_z, stack0_ref, stack1_ref)
+        t, slot, u, v, iters = run_seg(pairs_ref, leaf_ref, t_max)
         t_ref[:] = t
         slot_ref[:] = slot
         u_ref[:] = u
@@ -1134,4 +1151,285 @@ def packet_trace_any_waves(ps_segs, seg_min, seg_max, o, d, t_max,
         tm_s = jnp.where(need, t_max, jnp.float32(-1.0))
         h = _pallas_trace(ps_segs[s], o, d, tm_s, True, itp, rows)
         occ = occ | (h.slot >= 0)
+    return occ
+
+# ---------------------------------------------------------------------------
+# Multi-steer kernel: one launch traces every ray through its needed segments
+# ---------------------------------------------------------------------------
+# The wave scheduler above is exact but needs S*(W+1) launches whose dead
+# packets dominate. This variant keeps ONE launch: rays are pre-sorted by
+# segment_wave_key, each packet carries a short list of steered segment ids
+# (an SMEM block input), and the kernel loops over them, double-buffering
+# the segment tables HBM→VMEM with dynamic-offset DMAs while the previous
+# segment traces. Rays whose needed segments aren't all steered finish in
+# the chained fallback sweep (exact).
+
+STEER_K = int(__import__("os").environ.get("IDK_STEER_K", "8"))
+
+
+def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
+                         PR: int, LR: int):
+    packet = rows * 128
+
+    def kernel(
+        steer_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        pairs_hbm, leaf_hbm,
+        t_ref, slot_ref, u_ref, v_ref,
+        pairs_buf, leaf_buf, stack0_ref, stack1_ref, dma_sems,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_base = tmax_ref[:]
+        tiny = jnp.float32(1e-20)
+        sgn = lambda v: jnp.where(v < 0, -tiny, tiny)
+        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny, sgn(dx), dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, sgn(dy), dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, sgn(dz), dz)
+        neg_x = jnp.sum(dx) < 0.0
+        neg_y = jnp.sum(dy) < 0.0
+        neg_z = jnp.sum(dz) < 0.0
+        run_seg = _build_run_seg(
+            any_hit, rows, wide, packet,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            neg_x, neg_y, neg_z, stack0_ref, stack1_ref)
+
+        pid = pl.program_id(0)
+
+        def start_dma(k, buf):
+            st = steer_ref[pid, k]
+
+            @pl.when(st >= 0)
+            def _():
+                pltpu.make_async_copy(
+                    pairs_hbm.at[pl.ds(st * PR, PR)],
+                    pairs_buf.at[buf], dma_sems.at[2 * buf]).start()
+                pltpu.make_async_copy(
+                    leaf_hbm.at[pl.ds(st * LR, LR)],
+                    leaf_buf.at[buf], dma_sems.at[2 * buf + 1]).start()
+
+        start_dma(0, 0)
+        t_cur = t_base
+        slot_cur = jnp.full((rows, 128), -1, jnp.int32)
+        u_cur = jnp.zeros((rows, 128), jnp.float32)
+        v_cur = jnp.zeros((rows, 128), jnp.float32)
+        for k in range(K):
+            st = steer_ref[pid, k]
+            if k + 1 < K:
+                start_dma(k + 1, (k + 1) % 2)
+
+            def trace_k(carry, st=st, buf=k % 2):
+                t_cur, slot_cur, u_cur, v_cur = carry
+                pltpu.make_async_copy(
+                    pairs_hbm.at[pl.ds(st * PR, PR)],
+                    pairs_buf.at[buf], dma_sems.at[2 * buf]).wait()
+                pltpu.make_async_copy(
+                    leaf_hbm.at[pl.ds(st * LR, LR)],
+                    leaf_buf.at[buf], dma_sems.at[2 * buf + 1]).wait()
+                # no per-ray membership mask: the sub-trace's own root
+                # test kills rays missing this segment's box, and t_best
+                # pruning kills rays whose hit is already closer — steering
+                # near-first makes later sub-traces cheap
+                if any_hit:
+                    tk = jnp.where(slot_cur < 0, t_cur, jnp.float32(-1.0))
+                else:
+                    tk = t_cur
+                t_k, slot_k, u_k, v_k, _it = run_seg(
+                    pairs_buf.at[buf], leaf_buf.at[buf], tk)
+                hit_k = slot_k >= 0
+                return (jnp.where(hit_k, t_k, t_cur),
+                        jnp.where(hit_k, slot_k, slot_cur),
+                        jnp.where(hit_k, u_k, u_cur),
+                        jnp.where(hit_k, v_k, v_cur))
+
+            t_cur, slot_cur, u_cur, v_cur = jax.lax.cond(
+                st >= 0, trace_k, lambda c: c,
+                (t_cur, slot_cur, u_cur, v_cur))
+        t_ref[:] = t_cur
+        slot_ref[:] = slot_cur
+        u_ref[:] = u_cur
+        v_ref[:] = v_cur
+
+    return kernel
+
+
+def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
+                          o, d, t_max, any_hit: bool, interpret: bool,
+                          rows: int = PACKET_ROWS):
+    """steer: (n_pk, K) int32 segment ids (-1 = skip), near-first. Rays and
+    steering must cover the same (padded) packet layout."""
+    r = o.shape[0]
+    packet = rows * 128
+    pad = (-r) % packet
+    if pad:
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)])
+        d = jnp.concatenate([d, jnp.ones((pad, 3), d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.full((pad,), -1.0, t_max.dtype)])
+    rp = r + pad
+    n_pk = rp // packet
+    assert steer.shape[0] == n_pk, (steer.shape, n_pk)
+    K = steer.shape[1]
+    shape8 = (n_pk * rows, 128)
+    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
+                              memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        _make_kernel_steered(any_hit, rows, wide=True, K=K, PR=PR, LR=LR),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_pk,),
+            in_specs=[
+                ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p,
+                ray_spec_p, ray_spec_p,
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+            ],
+            out_specs=[ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p],
+            scratch_shapes=[
+                pltpu.VMEM((2, PR, 128), jnp.float32),
+                pltpu.VMEM((2, LR, 128), jnp.float32),
+                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(shape8, jnp.float32),
+            jax.ShapeDtypeStruct(shape8, jnp.int32),
+            jax.ShapeDtypeStruct(shape8, jnp.float32),
+            jax.ShapeDtypeStruct(shape8, jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        steer,
+        o[:, 0].reshape(shape8), o[:, 1].reshape(shape8),
+        o[:, 2].reshape(shape8),
+        d[:, 0].reshape(shape8), d[:, 1].reshape(shape8),
+        d[:, 2].reshape(shape8),
+        t_max.reshape(shape8), pairs_stack, leaf_stack,
+    )
+    t, slot, u, v = outs
+    return Hit(t=t.reshape(rp)[:r], slot=slot.reshape(rp)[:r],
+               u=u.reshape(rp)[:r], v=v.reshape(rp)[:r])
+
+
+def _build_steering(o, d, t_max, seg_min, seg_max, packet, K):
+    """Per-packet steered segment ids: every segment any of the packet's
+    rays' boxes intersect, ordered near-first (mean entry t). counts and
+    mean-t come from reshape-reduces (rays contiguous per packet) — no
+    scatters. A packet intersecting more than K distinct segments leaves the
+    excess to the (runtime-skipped) fallback sweep."""
+    S = seg_min.shape[0]
+    rp = o.shape[0]
+    n_pk = rp // packet
+    counts, mean_t = [], []
+    for s in range(S):
+        ent = _segment_entry_t(o, d, t_max, jnp.asarray(seg_min[s]),
+                               jnp.asarray(seg_max[s]))
+        m = ent < jnp.inf
+        c = m.reshape(n_pk, packet).sum(axis=1)
+        tsum = jnp.where(m, ent, 0.0).reshape(n_pk, packet).sum(axis=1)
+        counts.append(c)
+        mean_t.append(tsum / jnp.maximum(c, 1))
+    counts = jnp.stack(counts, axis=1)  # (n_pk, S)
+    mean_t = jnp.stack(mean_t, axis=1)
+    k = min(K, S)
+    # pick the k most-populated segments, then order them near-first
+    top, idx = jax.lax.top_k(counts, k)
+    sel_t = jnp.where(top > 0, jnp.take_along_axis(mean_t, idx, axis=1),
+                      jnp.inf)
+    order = jnp.argsort(sel_t, axis=1)
+    idx = jnp.take_along_axis(idx, order, axis=1)
+    top = jnp.take_along_axis(top, order, axis=1)
+    return jnp.where(top > 0, idx.astype(jnp.int32), jnp.int32(-1))
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
+def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
+                                 seg_min, seg_max, o, d, t_max,
+                                 interpret: bool = False,
+                                 rows: int = PACKET_ROWS,
+                                 k_steer: int = STEER_K) -> Hit:
+    """Closest hit over a segmented scene: one steered launch + exact
+    chained fallback for ray/segment pairs the steering missed. Rays should
+    be pre-sorted by segment_wave_key. Equals the chained trace exactly."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    S = len(ps_segs)
+    R = o.shape[0]
+    PR = ps_segs[0].pairs.shape[0]
+    LR = ps_segs[0].leaf_geo.shape[0]
+    packet = rows * 128
+    pad = (-R) % packet
+    op = o if pad == 0 else jnp.concatenate(
+        [o, jnp.zeros((pad, 3), o.dtype)])
+    dp = d if pad == 0 else jnp.concatenate(
+        [d, jnp.ones((pad, 3), d.dtype)])
+    tp = t_max if pad == 0 else jnp.concatenate(
+        [t_max, jnp.full((pad,), -1.0, jnp.float32)])
+    steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
+    best = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer,
+        o, d, t_max, False, itp, rows)
+    # fallback: segments a packet intersects beyond its K steered slots —
+    # each per-segment sweep is guarded by a runtime lax.cond and skipped
+    # unless some ray still needs it
+    steer_of_ray = jnp.repeat(steer, packet, axis=0)[:R]  # (R, K)
+    for s in range(S):
+        ent = _segment_entry_t(o, d, best.t, seg_min[s], seg_max[s])
+        steered = jnp.any(steer_of_ray == s, axis=1)
+        need = (ent < jnp.inf) & ~steered
+
+        def sweep(b, s=s, need=need):
+            tm_s = jnp.where(need, b.t, jnp.float32(-1.0))
+            h = _pallas_trace(ps_segs[s], o, d, tm_s, False, itp, rows)
+            return _merge_hits(b, h)
+
+        best = jax.lax.cond(jnp.any(need), sweep, lambda b: b, best)
+    return best
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
+def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
+                             seg_min, seg_max, o, d, t_max,
+                             interpret: bool = False,
+                             rows: int = PACKET_ROWS,
+                             k_steer: int = STEER_K):
+    """Occlusion over a segmented scene: steered launch + exact fallback."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    S = len(ps_segs)
+    R = o.shape[0]
+    PR = ps_segs[0].pairs.shape[0]
+    LR = ps_segs[0].leaf_geo.shape[0]
+    packet = rows * 128
+    pad = (-R) % packet
+    op = o if pad == 0 else jnp.concatenate(
+        [o, jnp.zeros((pad, 3), o.dtype)])
+    dp = d if pad == 0 else jnp.concatenate(
+        [d, jnp.ones((pad, 3), d.dtype)])
+    tp = t_max if pad == 0 else jnp.concatenate(
+        [t_max, jnp.full((pad,), -1.0, jnp.float32)])
+    steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
+    h = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer,
+        o, d, t_max, True, itp, rows)
+    occ = h.slot >= 0
+    steer_of_ray = jnp.repeat(steer, packet, axis=0)[:R]
+    for s in range(S):
+        ent = _segment_entry_t(o, d, t_max, seg_min[s], seg_max[s])
+        steered = jnp.any(steer_of_ray == s, axis=1)
+        need = (ent < jnp.inf) & ~steered & ~occ
+
+        def sweep(oc, s=s, need=need):
+            tm_s = jnp.where(need & ~oc, t_max, jnp.float32(-1.0))
+            hs = _pallas_trace(ps_segs[s], o, d, tm_s, True, itp, rows)
+            return oc | (hs.slot >= 0)
+
+        occ = jax.lax.cond(jnp.any(need), sweep, lambda oc: oc, occ)
     return occ

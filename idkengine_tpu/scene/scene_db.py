@@ -186,6 +186,8 @@ class SceneDatabase:
         self.wave_scene = None  # tuple of segment PacketScenes for wave trace
         self.wave_seg_min = None  # (S,3) f32 segment root boxes
         self.wave_seg_max = None
+        self.wave_pairs_stack = None  # row-concat tables for steered DMA
+        self.wave_leaf_stack = None
         self._wave_tables = None
         if self.build_settings.max_leaf_triangle_count <= MAX_LEAF_PACKET:
             try:
@@ -224,6 +226,7 @@ class SceneDatabase:
             self._wave_tables = self._packet_tables
             self.wave_scene = self.packet_scene
             self._set_wave_boxes(self._packet_tables)
+            self._set_wave_stack(self._packet_tables)
 
     def _build_wave_scene(self, total_bytes: int):
         """Segment the BVH into ~IDK_WAVE_SEGS treelets for the wave tracer
@@ -251,6 +254,7 @@ class SceneDatabase:
         self._pad_tables_common(segs)
         self.wave_scene = tuple(PacketScene.from_tables(t) for t in segs)
         self._set_wave_boxes(segs)
+        self._set_wave_stack(segs)
         log.info("wave tracer: %d segments (max %.2f MB)", len(segs),
                  max(t.vmem_bytes for t in segs) / 1e6)
 
@@ -276,6 +280,16 @@ class SceneDatabase:
             [t.pairs[0, 2:5] for t in tables]).astype(np.float32)
         self.wave_seg_max = np.stack(
             [t.pairs[0, 5:8] for t in tables]).astype(np.float32)
+
+    def _set_wave_stack(self, tables):
+        """Row-concatenated (common-shaped) segment tables for the
+        multi-steer kernel's dynamic-offset table DMAs."""
+        import jax.numpy as jnp
+
+        self.wave_pairs_stack = jnp.asarray(
+            np.concatenate([t.pairs for t in tables], axis=0))
+        self.wave_leaf_stack = jnp.asarray(
+            np.concatenate([t.leaf_geo for t in tables], axis=0))
 
     # ------------------------------------------------------------------
     def update(self, time: float, animation_index: int = 0) -> SceneArrays:
@@ -369,6 +383,7 @@ class SceneDatabase:
             self.wave_scene = tuple(
                 PacketScene.from_tables(t) for t in self._wave_tables)
             self._set_wave_boxes(self._wave_tables)
+            self._set_wave_stack(self._wave_tables)
         return self.device_scene
 
     # ------------------------------------------------------------------

@@ -199,3 +199,93 @@ class TestSegmented:
         occ2 = packet_trace_any(multi, jnp.asarray(o), jnp.asarray(d),
                                 jnp.full((R,), ext, jnp.float32), interpret=True)
         np.testing.assert_array_equal(np.asarray(occ1), np.asarray(occ2))
+
+
+class TestWaveTracing:
+    """Segment-wave and multi-steer tracers must match the chained trace
+    exactly (same kernels, different scheduling)."""
+
+    def _scene(self):
+        import os
+        os.environ.setdefault("IDK_WAVE_SEGS", "6")
+        from idkengine_tpu.bvh.builder import BuildSettings
+        from idkengine_tpu.scene.procedural import atrium
+        from idkengine_tpu.scene.scene_db import SceneDatabase
+
+        db = SceneDatabase(BuildSettings(
+            max_leaf_triangle_count=12, traversal_cost=4.0,
+            presplit_factor=0.0))
+        db.add_model(atrium(3000))
+        sc = db.build()
+        return db, sc
+
+    def _rays(self, sc, n=3072):
+        import jax.numpy as jnp
+        import numpy as np
+        rng = np.random.default_rng(7)
+        lo = np.asarray(sc.node_min[0])
+        hi = np.asarray(sc.node_max[0])
+        o = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+        d = rng.standard_normal((n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        return jnp.asarray(o), jnp.asarray(d)
+
+    def test_wave_and_steered_match_chained(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+
+        db, sc = self._scene()
+        assert db.wave_scene is not None and len(db.wave_scene) >= 2
+        o, d = self._rays(sc)
+        tm = jnp.full((o.shape[0],), 3.4e38, jnp.float32)
+        smin = jnp.asarray(db.wave_seg_min)
+        smax = jnp.asarray(db.wave_seg_max)
+        lo = jnp.asarray(sc.node_min[0])
+        ext = jnp.asarray(sc.node_max[0]) - lo
+        key = pt.segment_wave_key(o, d, tm, smin, smax, lo, ext)
+        p = jnp.argsort(key)
+        o, d = o[p], d[p]
+        base = pt.packet_trace_closest(db.packet_scene, o, d, tm,
+                                       interpret=True, rows=8)
+        wave = pt.packet_trace_closest_waves(
+            db.wave_scene, smin, smax, o, d, tm, interpret=True, rows=8)
+        steer = pt.packet_trace_closest_steered(
+            db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+            smin, smax, o, d, tm, interpret=True, rows=8)
+        for name, h in (("wave", wave), ("steer", steer)):
+            bs, hs = np.asarray(base.slot), np.asarray(h.slot)
+            bt, ht = np.asarray(base.t), np.asarray(h.t)
+            # hit masks must agree; slots may differ only on equal-t ties
+            # (e.g. a ray hitting a shared edge — segment visit order then
+            # legitimately picks the other triangle)
+            np.testing.assert_array_equal(bs >= 0, hs >= 0, err_msg=name)
+            hit = bs >= 0
+            np.testing.assert_allclose(bt[hit], ht[hit], rtol=1e-6,
+                                       err_msg=name)
+            diff = (bs != hs) & hit
+            assert np.all(np.abs(bt[diff] - ht[diff])
+                          <= 1e-6 * np.abs(bt[diff]) + 1e-6), (
+                name, np.nonzero(diff)[0][:5])
+
+    def test_any_wave_and_steered_match_chained(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+
+        db, sc = self._scene()
+        o, d = self._rays(sc)
+        tm = jnp.full((o.shape[0],), 15.0, jnp.float32)
+        smin = jnp.asarray(db.wave_seg_min)
+        smax = jnp.asarray(db.wave_seg_max)
+        base = pt.packet_trace_any(db.packet_scene, o, d, tm,
+                                   interpret=True, rows=8)
+        wave = pt.packet_trace_any_waves(
+            db.wave_scene, smin, smax, o, d, tm, interpret=True, rows=8)
+        steer = pt.packet_trace_any_steered(
+            db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+            smin, smax, o, d, tm, interpret=True, rows=8)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(wave))
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(steer))
