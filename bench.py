@@ -26,7 +26,7 @@ def main():
     from idkengine_tpu.scene.procedural import atrium
     from idkengine_tpu.scene.scene_db import SceneDatabase
 
-    tris = int(os.environ.get("IDK_BENCH_TRIS", 110_000))
+    tris = int(os.environ.get("IDK_BENCH_TRIS", 2_800_000))
     width = int(os.environ.get("IDK_BENCH_RES_W", 1920))
     height = int(os.environ.get("IDK_BENCH_RES_H", 1080))
     depth = int(os.environ.get("IDK_BENCH_DEPTH", 2))  # primary + bounce
@@ -59,6 +59,11 @@ def main():
     pt = PathTracer(
         scene, mats, lights, width, height, settings,
         packet_scene=db.packet_scene,
+        # segment root boxes drive the bounce-ray sort key
+        # (segment_wave_key) — without them sorting falls back to the
+        # weaker octant+cell key
+        wave_boxes=(None if db.wave_seg_min is None else
+                    (db.wave_seg_min, db.wave_seg_max)),
     )
 
     # warmup / compile

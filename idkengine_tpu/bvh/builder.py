@@ -90,6 +90,10 @@ def _load():
     lib.blas_intersect_box.argtypes = [ctypes.c_void_p, f32p, f32p, u32p, ctypes.c_uint32]
     lib.tlas_build.restype = ctypes.c_void_p
     lib.tlas_build.argtypes = [f32p, ctypes.c_uint32, ctypes.c_uint32]
+    lib.blas_epo.restype = ctypes.c_float
+    lib.blas_epo.argtypes = [
+        ctypes.c_void_p, f32p, u32p, ctypes.c_uint32, ctypes.c_uint32,
+    ]
     lib.sphere_vs_triangles.restype = ctypes.c_int
     lib.sphere_vs_triangles.argtypes = [
         f32p, u32p, u32p, ctypes.c_uint32, f32p, ctypes.c_float, f32p, f32p,
@@ -228,6 +232,19 @@ class BLAS:
         self.sah_cost = compute_global_sah(arr, self.settings.traversal_cost)
         self.build_ms = 0.0
         self._handle = None
+
+    def epo(self, max_nodes: int = 8192) -> float:
+        """Global EPO quality metric (ref: BLAS.cs ComputeGlobalEPO:536-627,
+        Aila et al. 2013): area of geometry overlapping node boxes outside
+        their own subtrees, normalized by total triangle area. Exact for
+        trees up to max_nodes nodes, strided estimate above. SAH misses
+        overlap pathologies — the reference logs both after every build."""
+        lib = _load()
+        if lib is None or self._handle is None:
+            return float("nan")
+        return float(lib.blas_epo(
+            self._handle, _f32p(self.vertices), _u32p(self.indices),
+            np.uint32(self.indices.shape[0]), np.uint32(max_nodes)))
 
     # -- refit ------------------------------------------------------------
     def refit(self, vertices: np.ndarray):

@@ -24,11 +24,43 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
 
 namespace {
+
+// Build-time thread budget (ref: BLAS.cs Parallel.For / ExecuteMaybeThreaded
+// threading). IDK_BUILD_THREADS=1 forces a deterministic serial build.
+static int build_threads() {
+  if (const char* e = std::getenv("IDK_BUILD_THREADS")) {
+    int v = std::atoi(e);
+    if (v > 0) return v;
+  }
+  unsigned hc = std::thread::hardware_concurrency();
+  return hc ? (int)hc : 1;
+}
+
+// Run fn(i) for i in [0, n) over the thread budget (static chunking).
+template <typename Fn>
+static void parallel_for(uint32_t n, Fn fn) {
+  int nt = std::min<int>(build_threads(), std::max<uint32_t>(n, 1));
+  if (nt <= 1 || n < 2) {
+    for (uint32_t i = 0; i < n; i++) fn(i);
+    return;
+  }
+  std::vector<std::thread> ts;
+  ts.reserve(nt - 1);
+  uint32_t chunk = (n + nt - 1) / nt;
+  for (int t = 1; t < nt; t++) {
+    uint32_t lo = t * chunk, hi = std::min(n, lo + chunk);
+    if (lo >= hi) break;
+    ts.emplace_back([=] { for (uint32_t i = lo; i < hi; i++) fn(i); });
+  }
+  for (uint32_t i = 0; i < std::min(n, chunk); i++) fn(i);
+  for (auto& t : ts) t.join();
+}
 
 struct Vec3 {
   float x, y, z;
@@ -162,9 +194,9 @@ static void presplit_recurse(const Vec3* tri_poly_in, int n_in, uint32_t tri_id,
 static void make_fragments(const float* verts, const uint32_t* idx, uint32_t ntris,
                            float split_factor, std::vector<Fragment>& frags) {
   frags.clear();
-  frags.reserve(ntris);
   if (split_factor <= 0.0f || ntris < 2) {
-    for (uint32_t t = 0; t < ntris; t++) {
+    frags.resize(ntris);
+    parallel_for(ntris, [&](uint32_t t) {
       Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
       Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
       Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
@@ -172,15 +204,14 @@ static void make_fragments(const float* verts, const uint32_t* idx, uint32_t ntr
       f.box.grow(p0); f.box.grow(p1); f.box.grow(p2);
       f.centroid = f.box.center();
       f.tri = t;
-      frags.push_back(f);
-    }
+      frags[t] = f;
+    });
     return;
   }
   // Priority per triangle: importance of splitting = f(size, empty area)
   // (ref: PreSplitting.cs:120-130 — cbrt(extent^2 * emptyArea)).
   std::vector<float> priority(ntris);
-  double total = 0.0;
-  for (uint32_t t = 0; t < ntris; t++) {
+  parallel_for(ntris, [&](uint32_t t) {
     Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
     Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
     Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
@@ -190,20 +221,61 @@ static void make_fragments(const float* verts, const uint32_t* idx, uint32_t ntr
     float empty = std::max(box_area - tri_area, 0.0f);
     Vec3 e = b.extent();
     float ext = std::max(e.x, std::max(e.y, e.z));
-    float pr = std::cbrt(ext * ext * empty);
-    priority[t] = pr;
-    total += pr;
-  }
+    priority[t] = std::cbrt(ext * ext * empty);
+  });
+  double total = 0.0;
+  for (uint32_t t = 0; t < ntris; t++) total += priority[t];
   uint32_t budget = (uint32_t)(split_factor * (float)ntris);
-  for (uint32_t t = 0; t < ntris; t++) {
-    Vec3 poly[3] = {
-        Vec3(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]),
-        Vec3(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]),
-        Vec3(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2])};
-    int nsplits = total > 0 ? (int)std::floor((double)budget * priority[t] / total) : 0;
-    nsplits = std::min(nsplits, 12);  // cap fragment blowup per triangle
-    presplit_recurse(poly, 3, t, nsplits, frags);
+  // Per-thread fragment buffers, concatenated in chunk order (deterministic
+  // fragment stream regardless of thread count).
+  int nt = build_threads();
+  uint32_t chunk = (ntris + nt - 1) / nt;
+  std::vector<std::vector<Fragment>> parts((ntris + chunk - 1) / chunk);
+  parallel_for((uint32_t)parts.size(), [&](uint32_t p) {
+    uint32_t lo = p * chunk, hi = std::min(ntris, lo + chunk);
+    auto& out = parts[p];
+    out.reserve((uint32_t)((hi - lo) * (1.0f + split_factor)));
+    for (uint32_t t = lo; t < hi; t++) {
+      Vec3 poly[3] = {
+          Vec3(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]),
+          Vec3(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]),
+          Vec3(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2])};
+      int nsplits = total > 0 ? (int)std::floor((double)budget * priority[t] / total) : 0;
+      nsplits = std::min(nsplits, 12);  // cap fragment blowup per triangle
+      presplit_recurse(poly, 3, t, nsplits, out);
+    }
+  });
+  size_t n_total = 0;
+  for (auto& p : parts) n_total += p.size();
+  frags.reserve(n_total);
+  for (auto& p : parts) frags.insert(frags.end(), p.begin(), p.end());
+}
+
+// Order-preserving float→uint key (ref: Algorithms.cs FloatToKey:15).
+static inline uint32_t float_to_key(float f) {
+  uint32_t u;
+  std::memcpy(&u, &f, 4);
+  return (u & 0x80000000u) ? ~u : (u | 0x80000000u);
+}
+
+// 3-pass 11-bit LSD radix sort of (key, payload) pairs (ref: Algorithms.cs
+// RadixSort:45-113 — same digit width). Stable; O(n) per pass.
+static void radix_sort_pairs(std::vector<uint64_t>& a) {
+  const uint32_t n = (uint32_t)a.size();
+  std::vector<uint64_t> b(n);
+  uint64_t* src = a.data();
+  uint64_t* dst = b.data();
+  uint32_t hist[2048];
+  for (int pass = 0; pass < 3; pass++) {
+    int shift = 32 + pass * 11;
+    std::memset(hist, 0, sizeof(hist));
+    for (uint32_t i = 0; i < n; i++) hist[(src[i] >> shift) & 0x7FF]++;
+    uint32_t sum = 0;
+    for (int d = 0; d < 2048; d++) { uint32_t c = hist[d]; hist[d] = sum; sum += c; }
+    for (uint32_t i = 0; i < n; i++) dst[hist[(src[i] >> shift) & 0x7FF]++] = src[i];
+    std::swap(src, dst);
   }
+  if (src != a.data()) std::memcpy(a.data(), src, n * sizeof(uint64_t));
 }
 
 // ---------------------------------------------------------------------------
@@ -211,37 +283,55 @@ static void make_fragments(const float* verts, const uint32_t* idx, uint32_t ntr
 // (ref: BLAS.cs GetBuildData:128-157, Build:159-243, TrySplit:730-873).
 // ---------------------------------------------------------------------------
 
+// Per-thread sweep/partition scratch: build_range recursions on different
+// threads work on disjoint [lo,hi) ranges but index rcost by in-range
+// position, so the buffers must be private.
+struct BuildScratch {
+  std::vector<float> rcost;
+  std::vector<uint32_t> idx;
+};
+static thread_local BuildScratch t_scratch;
+
 struct Builder {
   const std::vector<Fragment>& frags;
   uint32_t max_leaf;
   float trav_cost;   // SAH traversal cost relative to intersection cost 1
-  std::vector<BlasNode> nodes;
+  std::vector<BlasNode> nodes;     // preallocated 2n; n_nodes = high water
+  std::atomic<uint32_t> n_nodes{1};
+  std::atomic<int> live_threads{0};
+  int max_threads = 1;
   // Three axis-sorted fragment index arrays, partitioned in place during the
   // recursion; axis_idx[0] doubles as the final leaf ordering.
   std::vector<uint32_t> axis_idx[3];
-  std::vector<uint8_t> side;  // scratch: membership mask for stable partition
-  std::vector<float> rcost;   // scratch: suffix sweep costs
-  std::vector<uint32_t> scratch_idx;
+  std::vector<uint8_t> side;  // membership mask (disjoint ranges => safe)
+
+  // Threaded recursion threshold (ref: BLAS.cs:221-231 spawns ≥2^13 tris).
+  static constexpr uint32_t kSpawnMin = 1u << 13;
 
   Builder(const std::vector<Fragment>& f, uint32_t ml, float tc)
       : frags(f), max_leaf(ml), trav_cost(tc) {}
 
   void build() {
     const uint32_t n = (uint32_t)frags.size();
+    max_threads = build_threads();
     side.resize(n);
-    rcost.resize(n + 1);
-    scratch_idx.resize(n);
-    // 3 axis-sorted index arrays by centroid.
-    for (int a = 0; a < 3; a++) {
+    // 3 axis-sorted index arrays by centroid: float→key radix sorts, one
+    // thread per axis (ref: BLAS.cs GetBuildData:128-157 — 3 radix sorts
+    // as parallel tasks).
+    parallel_for(3, [&](uint32_t a) {
+      std::vector<uint64_t> pairs(n);
+      for (uint32_t i = 0; i < n; i++)
+        pairs[i] = ((uint64_t)float_to_key(frags[i].centroid[(int)a]) << 32) | i;
+      radix_sort_pairs(pairs);
       axis_idx[a].resize(n);
-      for (uint32_t i = 0; i < n; i++) axis_idx[a][i] = i;
-      std::stable_sort(axis_idx[a].begin(), axis_idx[a].end(),
-                       [&](uint32_t x, uint32_t y) { return frags[x].centroid[a] < frags[y].centroid[a]; });
-    }
-    nodes.reserve(2 * n);
-    nodes.push_back(BlasNode{});
+      for (uint32_t i = 0; i < n; i++) axis_idx[a][i] = (uint32_t)pairs[i];
+    });
+    nodes.resize(2 * n);
     build_range(0, 0, n);
+    nodes.resize(n_nodes.load());
   }
+
+  uint32_t alloc_pair() { return n_nodes.fetch_add(2); }
 
   AABB range_box(uint32_t lo, uint32_t hi) const {
     AABB b;
@@ -258,23 +348,27 @@ struct Builder {
   }
 
   // Full sweep over one axis: suffix pass accumulates right AABB half-areas,
-  // prefix pass evaluates SAH(i) = Al*i + Ar*(n-i) (ref: BLAS.cs:752-805).
-  bool sweep_axis(int axis, uint32_t lo, uint32_t hi, float parent_ha,
+  // prefix pass evaluates SAH(i) = Al*i + Ar*(n-i) (ref: BLAS.cs:752-805,
+  // including the early-break: the left term is monotonically non-decreasing
+  // in i, so once it alone exceeds the best cost no later split can win).
+  bool sweep_axis(int axis, uint32_t lo, uint32_t hi,
                   float& best_cost, uint32_t& best_split, int& best_axis) {
     const uint32_t n = hi - lo;
     const std::vector<uint32_t>& ids = axis_idx[axis];
+    std::vector<float>& rcost = t_scratch.rcost;
+    if (rcost.size() < n + 1) rcost.resize(n + 1);
     AABB right;
     for (uint32_t i = n; i-- > 1;) {
       right.grow(frags[ids[lo + i]].box);
       rcost[i] = right.half_area() * (float)(n - i);
-      // Early out: even the cheapest possible left side cannot beat best.
-      if (rcost[i] >= best_cost) { /* keep sweeping; need full array */ }
     }
     AABB left;
     bool improved = false;
     for (uint32_t i = 1; i < n; i++) {
       left.grow(frags[ids[lo + i - 1]].box);
-      float c = left.half_area() * (float)i + rcost[i];
+      float lterm = left.half_area() * (float)i;
+      if (lterm >= best_cost) break;  // early out (ref: BLAS.cs:781-786)
+      float c = lterm + rcost[i];
       if (c < best_cost) {
         best_cost = c;
         best_split = lo + i;
@@ -282,16 +376,16 @@ struct Builder {
         improved = true;
       }
     }
-    (void)parent_ha;
     return improved;
   }
 
   // Stable-partition the other two axis arrays to match the chosen split
   // (ref: BLAS.cs stable partition of 3 axis arrays).
   void partition_axes(int split_axis, uint32_t lo, uint32_t mid, uint32_t hi) {
-    const uint32_t n = hi - lo;
     for (uint32_t i = lo; i < mid; i++) side[axis_idx[split_axis][i]] = 0;
     for (uint32_t i = mid; i < hi; i++) side[axis_idx[split_axis][i]] = 1;
+    std::vector<uint32_t>& scratch_idx = t_scratch.idx;
+    if (scratch_idx.size() < hi - lo) scratch_idx.resize(hi - lo);
     for (int a = 0; a < 3; a++) {
       if (a == split_axis) continue;
       std::vector<uint32_t>& ids = axis_idx[a];
@@ -302,7 +396,6 @@ struct Builder {
         else scratch_idx[w1++] = f;
       }
       std::memcpy(&ids[mid], scratch_idx.data(), w1 * sizeof(uint32_t));
-      (void)n;
     }
   }
 
@@ -318,7 +411,7 @@ struct Builder {
     float best_cost = 3.4e38f;
     uint32_t best_split = 0;
     int best_axis = -1;
-    for (int a = 0; a < 3; a++) sweep_axis(a, lo, hi, parent_ha, best_cost, best_split, best_axis);
+    for (int a = 0; a < 3; a++) sweep_axis(a, lo, hi, best_cost, best_split, best_axis);
     // Normalized split cost: traversal + children SAH relative to parent.
     float split_cost = trav_cost + best_cost / parent_ha;
     if (best_axis < 0 || (n <= max_leaf && leaf_cost <= split_cost)) {
@@ -331,14 +424,23 @@ struct Builder {
       best_split = lo + n / 2;
     }
     partition_axes(best_axis, lo, best_split, hi);
-    uint32_t left = (uint32_t)nodes.size();
-    nodes.push_back(BlasNode{});
-    nodes.push_back(BlasNode{});
+    uint32_t left = alloc_pair();
     set_node(node_index, box, left, 0);
-    // Larger child first keeps sibling pairs cache/stack friendly
-    // (ref: BLAS.cs larger-child-left swap).
-    build_range(left, lo, best_split);
-    build_range(left + 1, best_split, hi);
+    // Spawn the left subtree on its own thread for big ranges (ref:
+    // BLAS.cs:221-231 threaded recursion). Atomic pair allocation keeps the
+    // invariant children-index > parent-index that refit/collapse rely on.
+    if (n >= kSpawnMin && live_threads.load(std::memory_order_relaxed) < max_threads - 1) {
+      live_threads.fetch_add(1);
+      std::thread t([this, left, lo, best_split] {
+        build_range(left, lo, best_split);
+        live_threads.fetch_sub(1);
+      });
+      build_range(left + 1, best_split, hi);
+      t.join();
+    } else {
+      build_range(left, lo, best_split);
+      build_range(left + 1, best_split, hi);
+    }
   }
 };
 
@@ -467,6 +569,92 @@ void blas_view(void* handle, BlasView* out) {
 }
 
 void blas_destroy(void* handle) { delete (BlasHandle*)handle; }
+
+// Global EPO (Endpoint-Overlap, Aila et al. "On Quality Metrics of Bounding
+// Volume Hierarchies"; ref: BLAS.cs ComputeGlobalEPO/ComputeEPOArea:536-627):
+// for each node, the surface area of geometry NOT in its subtree that
+// overlaps its box, area-weighted and normalized by total triangle area.
+// Exact when node_count <= max_nodes; otherwise a strided node sample scaled
+// by the stride (logging metric — SAH alone misses overlap pathologies).
+static double polygon_area(const Vec3* p, int n) {
+  if (n < 3) return 0.0;
+  Vec3 acc(0, 0, 0);
+  for (int i = 1; i + 1 < n; i++)
+    acc = acc + cross(p[i] - p[0], p[i + 1] - p[0]);
+  return 0.5 * length(acc);
+}
+
+// Area of triangle clipped to an AABB.
+static double tri_area_in_box(Vec3 a, Vec3 b, Vec3 c, const BlasNode& nd) {
+  Vec3 buf0[16], buf1[16];
+  buf0[0] = a; buf0[1] = b; buf0[2] = c;
+  int n = 3;
+  Vec3* cur = buf0;
+  Vec3* nxt = buf1;
+  for (int axis = 0; axis < 3; axis++) {
+    n = clip_poly(cur, n, axis, nd.mx[axis], true, nxt);
+    std::swap(cur, nxt);
+    if (n < 3) return 0.0;
+    n = clip_poly(cur, n, axis, nd.mn[axis], false, nxt);
+    std::swap(cur, nxt);
+    if (n < 3) return 0.0;
+  }
+  return polygon_area(cur, n);
+}
+
+float blas_epo(void* handle, const float* verts, const uint32_t* idx,
+               uint32_t ntris, uint32_t max_nodes) {
+  auto* h = (BlasHandle*)handle;
+  const uint32_t nn = (uint32_t)h->nodes.size();
+  if (nn == 0 || ntris == 0) return 0.0f;
+  double total_area = 0.0;
+  for (uint32_t t = 0; t < ntris; t++) {
+    Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
+    Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
+    Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
+    total_area += 0.5 * length(cross(p1 - p0, p2 - p0));
+  }
+  if (total_area <= 0.0) return 0.0f;
+  uint32_t stride = std::max(1u, (nn + max_nodes - 1) / std::max(max_nodes, 1u));
+  uint32_t n_samples = (nn + stride - 1) / stride;
+  std::vector<double> partial(n_samples, 0.0);
+  parallel_for(n_samples, [&](uint32_t s) {
+    uint32_t target = s * stride;
+    const BlasNode& tn = h->nodes[target];
+    auto overlaps = [&](const BlasNode& m) {
+      return m.mn[0] <= tn.mx[0] && m.mx[0] >= tn.mn[0] &&
+             m.mn[1] <= tn.mx[1] && m.mx[1] >= tn.mn[1] &&
+             m.mn[2] <= tn.mx[2] && m.mx[2] >= tn.mn[2];
+    };
+    double epo = 0.0;
+    uint32_t stack[128];
+    int sp = 0;
+    if (overlaps(h->nodes[0]) && target != 0) stack[sp++] = 0;
+    while (sp > 0) {
+      const BlasNode& m = h->nodes[stack[--sp]];
+      if (m.count > 0) {
+        for (uint32_t i = m.left_or_first; i < m.left_or_first + m.count; i++) {
+          uint32_t t = h->tri_indices[i];
+          Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
+          Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
+          Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);
+          epo += tri_area_in_box(p0, p1, p2, tn);
+        }
+      } else {
+        // descend, skipping the target's own subtree (membership == "reached
+        // through the target node")
+        for (uint32_t c = m.left_or_first; c <= m.left_or_first + 1; c++) {
+          if (c == target) continue;
+          if (overlaps(h->nodes[c]) && sp < 128) stack[sp++] = c;
+        }
+      }
+    }
+    partial[s] = epo;
+  });
+  double epo_sum = 0.0;
+  for (double p : partial) epo_sum += p;
+  return (float)(epo_sum * (double)stride / total_area);
+}
 
 // Bottom-up refit after vertex animation (ref: BLAS.cs Refit:276-293).
 // Iterates nodes in reverse index order — children always have larger

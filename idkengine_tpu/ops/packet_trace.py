@@ -109,8 +109,13 @@ class PacketTables:
                 self.pairs[self.plan_row, self.plan_off + 3 + j] = nx[self.plan_c0][:, j]
                 self.pairs[self.plan_row, self.plan_off + 6 + j] = nm[self.plan_c1][:, j]
                 self.pairs[self.plan_row, self.plan_off + 9 + j] = nx[self.plan_c1][:, j]
-        self.pairs[0, 2:5] = nodes["min"][0]
-        self.pairs[0, 5:8] = nodes["max"][0]
+        # row 0 holds THIS table's root record — for segment tables that is
+        # the segment's own subtree root (collapse_map[0]), not the global
+        # scene root; wave-key boxes are re-derived from this row after a
+        # refit, so writing the global box here would collapse every
+        # segment's sort key to the same value
+        self.pairs[0, 2:5] = nm[0]
+        self.pairs[0, 5:8] = nx[0]
         tri_v = indices[slot_tri_ids[self.plan_leaf_slot].astype(np.int64)]
         p = vertices[tri_v]
         p0 = p[:, 0]
@@ -1255,9 +1260,10 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
 
 def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                           o, d, t_max, any_hit: bool, interpret: bool,
-                          rows: int = PACKET_ROWS):
+                          rows: int = PACKET_ROWS, wide: bool = True):
     """steer: (n_pk, K) int32 segment ids (-1 = skip), near-first. Rays and
-    steering must cover the same (padded) packet layout."""
+    steering must cover the same (padded) packet layout. `wide` must match
+    the layout the tables were built with (IDK_WIDE)."""
     r = o.shape[0]
     packet = rows * 128
     pad = (-r) % packet
@@ -1275,7 +1281,7 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
     ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel_steered(any_hit, rows, wide=True, K=K, PR=PR, LR=LR),
+        _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
@@ -1373,7 +1379,7 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
     steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
     best = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
-        o, d, t_max, False, itp, rows)
+        o, d, t_max, False, itp, rows, wide=ps_segs[0].wide)
     # fallback: segments a packet intersects beyond its K steered slots —
     # each per-segment sweep is guarded by a runtime lax.cond and skipped
     # unless some ray still needs it
@@ -1418,7 +1424,7 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
     steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
     h = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
-        o, d, t_max, True, itp, rows)
+        o, d, t_max, True, itp, rows, wide=ps_segs[0].wide)
     occ = h.slot >= 0
     steer_of_ray = jnp.repeat(steer, packet, axis=0)[:R]
     for s in range(S):

@@ -44,9 +44,11 @@ def shard_render(mesh: Mesh, render_sample_fn, axis: str = "rays"):
     repl = NamedSharding(mesh, P())
     by_rays = NamedSharding(mesh, P(axis))
 
+    # 8 args: scene, mats, lights, env_map, cam_params, frame, packet_scene,
+    # wave_boxes (PathTracer._render_sample signature)
     return jax.jit(
         render_sample_fn,
-        in_shardings=(repl,) * 7,
+        in_shardings=(repl,) * 8,
         out_shardings=(by_rays, by_rays, by_rays, by_rays, repl),
     )
 
@@ -67,6 +69,10 @@ class ShardedPathTracer:
         self._mats_r = replicate(mesh, pt.mats)
         self._lights_r = replicate(mesh, pt.lights)
         self._env_r = None if pt.env_map is None else replicate(mesh, pt.env_map)
+        self._packet_r = (None if pt.packet_scene is None
+                          else replicate(mesh, pt.packet_scene))
+        self._wave_boxes_r = (None if pt.wave_boxes is None
+                              else replicate(mesh, pt.wave_boxes))
         self._fn = shard_render(mesh, pt._render_sample)
 
     def render_frame(self, camera):
@@ -76,8 +82,7 @@ class ShardedPathTracer:
         radiance, alb, nrm, dep, nrays = self._fn(
             self._scene_r, self._mats_r, self._lights_r, self._env_r,
             cam_params, jnp.uint32(self.pt._frame),
-            None if self.pt.packet_scene is None
-            else replicate(self.mesh, self.pt.packet_scene),
+            self._packet_r, self._wave_boxes_r,
         )
         n = self.pt.accumulated_samples
         self.pt.accum = (self.pt.accum * n + radiance) / (n + 1)

@@ -464,7 +464,11 @@ class PathTracer:
                 sh_o = hp_point + gn * eps_o[..., None]
                 if sort_shadow:
                     cell = _origin_cell(hp_point)
-                    skey = jnp.where(do_nee, (li << 24) | (cell >> 3),
+                    # key = light id (<=256 lights, ref LightManager.cs:18)
+                    # in bits 21..29 + 18-bit Morton cell: stays positive in
+                    # int32 so the dead-ray sentinel 0x7FFFFFFF still sorts
+                    # last (li<<24 overflowed sign at >127 lights)
+                    skey = jnp.where(do_nee, (li << 21) | (cell >> 6),
                                      jnp.int32(0x7FFFFFFF))
                     idx = jnp.arange(r, dtype=jnp.int32)
                     (_, sox, soy, soz, sdx, sdy, sdz, stm, sidx) = jax.lax.sort(

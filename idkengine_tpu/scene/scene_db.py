@@ -373,15 +373,21 @@ class SceneDatabase:
                     self._indices,
                 )
                 self.packet_scene = PacketScene.from_tables(self._packet_tables)
-        if self.wave_scene is not None and \
-                self._wave_tables is not self._packet_tables:
+        if self.wave_scene is not None:
             from ..ops.packet_trace import PacketScene
 
-            for t in self._wave_tables:
-                t.refresh(self.blas.nodes, self.blas.tri_indices,
-                          self._verts, self._indices)
-            self.wave_scene = tuple(
-                PacketScene.from_tables(t) for t in self._wave_tables)
+            if self._wave_tables is self._packet_tables:
+                # over-VMEM scenes alias the packet tables as wave segments:
+                # those were refreshed above, but the wave boxes/stacks still
+                # need re-deriving or segment_wave_key and the steered DMA
+                # stacks go stale (refitted geometry could silently miss)
+                self.wave_scene = self.packet_scene
+            else:
+                for t in self._wave_tables:
+                    t.refresh(self.blas.nodes, self.blas.tri_indices,
+                              self._verts, self._indices)
+                self.wave_scene = tuple(
+                    PacketScene.from_tables(t) for t in self._wave_tables)
             self._set_wave_boxes(self._wave_tables)
             self._set_wave_stack(self._wave_tables)
         return self.device_scene

@@ -15,3 +15,18 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize (PYTHONPATH=.axon_site) imports jax at interpreter
+# start when the pool env vars are set, so the env-var overrides above come
+# too late — jax's config snapshot already says platforms=axon. Steer the
+# live config instead (backends are not initialized yet at conftest time).
+import sys  # noqa: E402
+
+if "jax" in sys.modules:
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        pass

@@ -48,7 +48,7 @@ def main():
     rows = int(os.environ.get("IDK_ROWS", 32))
     db = SceneDatabase(BuildSettings(
         max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0))
-    db.add_model(atrium(110_000))
+    db.add_model(atrium(int(os.environ.get("IDK_BENCH_TRIS", 110_000))))
     sc = db.build()
     ps = db.packet_scene
     ws = db.wave_scene
@@ -163,7 +163,7 @@ def main_steered():
     rows = int(os.environ.get("IDK_ROWS", 32))
     db = SceneDatabase(BuildSettings(
         max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0))
-    db.add_model(atrium(110_000))
+    db.add_model(atrium(int(os.environ.get("IDK_BENCH_TRIS", 110_000))))
     sc = db.build()
     ps = db.packet_scene
     ws = db.wave_scene
