@@ -29,7 +29,7 @@ from ..ops.intersect import ray_sphere
 from ..ops.packet_trace import (
     BOUNCE_ROWS, PACKET, PACKET_ROWS, packet_trace_any, packet_trace_closest,
     segment_wave_key)
-from ..ops.trace import SceneArrays, trace_any, trace_closest
+from ..ops.trace import Hit, SceneArrays, trace_any, trace_closest
 from ..utils import rng
 from ..utils.compression import decompress_normal
 from . import sampling, shading
@@ -197,7 +197,47 @@ class PathTracer:
         attr[:, 9:12] = np.asarray(scene.tri_n).astype(np.uint32).view(np.float32)
         attr[:, 12:25] = mat_f[mat_np]
         attr[:, 25] = mat_np.astype(np.float32)
+        # per-triangle tangent frame from UV derivatives (flat per tri — the
+        # reference interpolates authored vertex tangents, Surface.glsl:96-118;
+        # UV-derived frames give the same mapping for well-authored UVs) +
+        # alpha factors for the stochastic alpha test
+        from ..utils.compression import compress_normal
+        uv3 = np.asarray(scene.tri_uv).reshape(-1, 3, 2).astype(np.float64)
+        e1np = np.asarray(scene.tri_e1).astype(np.float64)
+        e2np = np.asarray(scene.tri_e2).astype(np.float64)
+        du1 = uv3[:, 1] - uv3[:, 0]
+        du2 = uv3[:, 2] - uv3[:, 0]
+        det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+        ok = np.abs(det) > 1e-12
+        rdet = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+        tan = (e1np * du2[:, 1:2] - e2np * du1[:, 1:2]) * rdet
+        bit = (e2np * du1[:, 0:1] - e1np * du2[:, 0:1]) * rdet
+        gn_np = np.asarray(scene.tri_gn).astype(np.float64)
+        # fall back to any frame perpendicular to the face normal
+        fb = np.cross(gn_np, np.where(np.abs(gn_np[:, :1]) < 0.9,
+                                      [[1.0, 0, 0]], [[0, 1.0, 0]]))
+        tl = np.linalg.norm(tan, axis=-1, keepdims=True)
+        tan = np.where((tl > 1e-12) & ok[:, None], tan / np.maximum(tl, 1e-12), fb)
+        bl = np.linalg.norm(bit, axis=-1, keepdims=True)
+        bit = np.where((bl > 1e-12) & ok[:, None],
+                       bit / np.maximum(bl, 1e-12), np.cross(gn_np, fb))
+        attr[:, 26] = compress_normal(tan.astype(np.float32)).view(np.float32)
+        attr[:, 27] = compress_normal(bit.astype(np.float32)).view(np.float32)
+        attr[:, 28] = np.asarray(m["base_color"])[:, 3][mat_np]  # alpha factor
+        attr[:, 29] = np.asarray(materials.get(
+            "alpha_cutoff", np.full(len(mat_f), -1.0)))[mat_np]
         self._attr = jnp.asarray(attr)
+        # static feature gates: keep the hot path untouched for scenes
+        # without alpha-tested or normal-mapped materials
+        cutoffs = np.asarray(materials.get("alpha_cutoff", [-1.0]))
+        alphas = np.asarray(materials.get("base_color"))[:, 3]
+        base_layers = np.asarray(materials.get("base_layer", [-1]))
+        self._has_alpha = bool(np.any(
+            (cutoffs >= 0.0) & ((alphas < 1.0) | (base_layers >= 0))))
+        self._has_normal_maps = bool(
+            np.any(np.asarray(materials.get("normal_layer", [-1])) >= 0))
+        self.alpha_rounds = int(
+            __import__("os").environ.get("IDK_ALPHA_ROUNDS", "2"))
 
     # -- settings with reset semantics (ref: PathTracer.cs setters) -------
     def set_settings(self, **kw):
@@ -260,6 +300,78 @@ class PathTracer:
                 return packet_trace_any(packet_scene, o_, d_, t_max_,
                                         rows=rows)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
+
+        def _alpha_keep(hit_, state_):
+            """Stochastic alpha test at a hit (ref: FirstHit/compute.glsl:
+            141-146): MASK materials use their cutoff deterministically,
+            BLEND keeps with probability alpha, OPAQUE always keeps."""
+            slot_ = jnp.maximum(hit_.slot, 0)
+            af_ = self._attr[slot_]
+            wb_ = 1.0 - hit_.u - hit_.v
+            uv_ = (af_[:, 0:2] * wb_[..., None]
+                   + af_[:, 2:4] * hit_.u[..., None]
+                   + af_[:, 4:6] * hit_.v[..., None])
+            a_ = af_[:, 28]
+            cut_ = af_[:, 29]
+            if self._has_textures:
+                mid_ = af_[:, 25].astype(jnp.int32)
+                tex_ = _sample_atlas(mats["atlas"], mats["base_layer"][mid_], uv_)
+                a_ = a_ * tex_[..., 3]
+            state_, u_a = rng.uniform(state_)
+            keep = jnp.where(cut_ < 0.0, True,
+                             jnp.where(cut_ > 0.0, a_ >= cut_, u_a < a_))
+            return state_, keep
+
+        def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows):
+            """Closest hit with up to alpha_rounds stochastic re-traces past
+            alpha-discarded surfaces. Absolute-t semantics preserved."""
+            hit_ = _closest(o_, d_, t_max_, sort_key, rows=rows)
+            if not self._has_alpha:
+                return state_, hit_
+            t_base = jnp.zeros_like(t_max_)
+            o_cur = o_
+            for _ in range(self.alpha_rounds):
+                state_, keep = _alpha_keep(hit_, state_)
+                redo = (hit_.slot >= 0) & ~keep
+                adv = hit_.t * (1.0 + 1e-5) + 1e-4
+                o_cur = jnp.where(redo[..., None], o_cur + d_ * adv[..., None], o_cur)
+                t_base = jnp.where(redo, t_base + adv, t_base)
+                tm_rel = jnp.where(redo, t_max_ - t_base, jnp.float32(-1.0))
+                h2 = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                hit_ = Hit(
+                    t=jnp.where(redo, h2.t, hit_.t),
+                    slot=jnp.where(redo, h2.slot, hit_.slot),
+                    u=jnp.where(redo, h2.u, hit_.u),
+                    v=jnp.where(redo, h2.v, hit_.v),
+                )
+            return state_, Hit(t=t_base + hit_.t, slot=hit_.slot,
+                               u=hit_.u, v=hit_.v)
+
+        def _shadow_occluded(state_, o_, d_, t_max_, rows):
+            """Occlusion with alpha transparency: transparent surfaces pass
+            shadow rays stochastically (ref: ShadowsRayTraced/compute.glsl:
+            96-117 attenuates through alpha surfaces)."""
+            if not self._has_alpha:
+                return state_, _occluded(o_, d_, t_max_, rows=rows)
+            occ = jnp.zeros(t_max_.shape, bool)
+            t_base = jnp.zeros_like(t_max_)
+            o_cur = o_
+            active = t_max_ > 0.0
+            for _ in range(self.alpha_rounds):
+                tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
+                h = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                hitm = active & (h.slot >= 0)
+                state_, keep = _alpha_keep(h, state_)
+                occ = occ | (hitm & keep)
+                active = hitm & ~keep
+                adv = h.t * (1.0 + 1e-5) + 1e-4
+                o_cur = jnp.where(active[..., None],
+                                  o_cur + d_ * adv[..., None], o_cur)
+                t_base = jnp.where(active, t_base + adv, t_base)
+            # conservative tail: anything still blocking past the last round
+            tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
+            occ = occ | _occluded(o_cur, d_, tm_rel, rows=rows)
+            return state_, occ
 
         def _morton_spread(v):
             # interleave 8 bits with 2-bit gaps
@@ -338,7 +450,8 @@ class PathTracer:
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = _ray_sort_key(o, d, alive) if bounce > 0 else None
             trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
-            hit = _closest(o, d, t_max, sort_key, rows=trace_rows)
+            state, hit = _closest_alpha(state, o, d, t_max, sort_key,
+                                        trace_rows)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -392,6 +505,30 @@ class PathTracer:
                 + af[:, 4:6] * v_b[..., None]
             )
             mat_id = af[:, 25].astype(jnp.int32)
+            if self._has_normal_maps:
+                # tangent-space normal mapping (ref: Surface.glsl:96-118):
+                # TBN from the per-triangle UV-derived frame, z along the
+                # interpolated shading normal
+                nl_ = mats["normal_layer"][mat_id]
+                tb = af[:, 26:28].view(jnp.uint32)
+                tan = decompress_normal(tb[:, 0], jnp)
+                bit = decompress_normal(tb[:, 1], jnp)
+                # re-orthogonalize against the shading normal
+                tan = tan - ns * jnp.sum(tan * ns, axis=-1, keepdims=True)
+                tan = tan / jnp.maximum(
+                    jnp.linalg.norm(tan, axis=-1, keepdims=True), 1e-12)
+                bit = bit - ns * jnp.sum(bit * ns, axis=-1, keepdims=True)
+                bit = bit / jnp.maximum(
+                    jnp.linalg.norm(bit, axis=-1, keepdims=True), 1e-12)
+                ntex = _sample_atlas(mats["atlas"], nl_, uv)
+                ntan = ntex[..., :3] * 2.0 - 1.0
+                pert = (tan * ntan[..., 0:1] + bit * ntan[..., 1:2]
+                        + ns * jnp.maximum(ntan[..., 2:3], 0.05))
+                pert = pert / jnp.maximum(
+                    jnp.linalg.norm(pert, axis=-1, keepdims=True), 1e-12)
+                pert = jnp.where(
+                    jnp.sum(pert * gn, axis=-1, keepdims=True) < 0.0, -pert, pert)
+                ns = jnp.where((nl_ >= 0)[..., None], pert, ns)
             mf = af[:, 12:25]  # packed material factors (baked per slot)
             albedo = mf[:, 0:3]
             emissive = mf[:, 3:6]
@@ -475,15 +612,16 @@ class PathTracer:
                         (skey, sh_o[:, 0], sh_o[:, 1], sh_o[:, 2],
                          ldir[:, 0], ldir[:, 1], ldir[:, 2], sh_tmax, idx),
                         num_keys=1, is_stable=False)
-                    occ_s = _occluded(jnp.stack([sox, soy, soz], -1),
-                                      jnp.stack([sdx, sdy, sdz], -1),
-                                      stm, rows=trace_rows)
+                    state, occ_s = _shadow_occluded(
+                        state, jnp.stack([sox, soy, soz], -1),
+                        jnp.stack([sdx, sdy, sdz], -1), stm, trace_rows)
                     _, occ_i = jax.lax.sort(
                         (sidx, occ_s.astype(jnp.int32)), num_keys=1,
                         is_stable=False)
                     occluded = occ_i != 0
                 else:
-                    occluded = _occluded(sh_o, ldir, sh_tmax, rows=trace_rows)
+                    state, occluded = _shadow_occluded(
+                        state, sh_o, ldir, sh_tmax, trace_rows)
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)
