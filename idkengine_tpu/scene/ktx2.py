@@ -75,17 +75,25 @@ def _decompress(payload: bytes, scheme: int, uncomp_len: int) -> bytes | None:
 
 
 def decode_ktx2(data: bytes) -> np.ndarray | None:
-    """Decode mip level 0 to (H, W, 4) uint8, or None if unsupported."""
+    """Decode mip level 0 to (H, W, 4) uint8, or None if unsupported.
+
+    BasisLZ/ETC1S payloads route through the pure-Python transcoder
+    (scene/basisu.py), capped at the atlas-relevant mip size."""
     try:
         hdr = parse_header(data)
     except Exception as e:
         log.warning("KTX2 parse failed: %s", e)
         return None
+    if hdr["supercompression"] == 1:  # BasisLZ (ETC1S)
+        from . import basisu
+        from .materials import ATLAS_SIZE
+
+        return basisu.transcode_ktx2(data, max_size=ATLAS_SIZE)
     off, blen, ulen = hdr["level_index"][0]
     payload = _decompress(data[off : off + blen], hdr["supercompression"], ulen)
     if payload is None:
         log.debug(
-            "KTX2 unsupported supercompression %d (BasisU transcode not available)",
+            "KTX2 unsupported supercompression %d",
             hdr["supercompression"],
         )
         return None

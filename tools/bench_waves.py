@@ -98,29 +98,31 @@ def main():
     jax.block_until_ready((o2s, d2s, tm2s, ldn, stm))
 
     @jax.jit
-    def run_plain(salt):
-        h1 = packet_trace_closest(ps, o2s, d2s, tm2s + salt, rows=rows)
-        occ = packet_trace_any(ps, o2s, ldn, stm * (1.0 + salt * 0), rows=rows)
+    def run_plain(ps_, o_, d_, tm_, ldn_, stm_, salt):
+        h1 = packet_trace_closest(ps_, o_, d_, tm_ + salt, rows=rows)
+        occ = packet_trace_any(ps_, o_, ldn_, stm_ * (1.0 + salt * 0), rows=rows)
         return (jnp.sum(h1.t * (h1.slot >= 0)) + jnp.sum(occ),
                 h1.t, h1.slot, occ)
 
     @jax.jit
-    def run_wave(salt):
-        h1 = packet_trace_closest_waves(ws, smin, smax, o2s, d2s, tm2s + salt,
+    def run_wave(ws_, smin_, smax_, o_, d_, tm_, ldn_, stm_, salt):
+        h1 = packet_trace_closest_waves(ws_, smin_, smax_, o_, d_, tm_ + salt,
                                         rows=rows)
-        occ = packet_trace_any_waves(ws, smin, smax, o2s, ldn,
-                                     stm * (1.0 + salt * 0), rows=rows)
+        occ = packet_trace_any_waves(ws_, smin_, smax_, o_, ldn_,
+                                     stm_ * (1.0 + salt * 0), rows=rows)
         return (jnp.sum(h1.t * (h1.slot >= 0)) + jnp.sum(occ),
                 h1.t, h1.slot, occ)
 
-    rb = run_plain(jnp.float32(0))
+    rb = run_plain(ps, o2s, d2s, tm2s, ldn, stm, jnp.float32(0))
     _ = float(rb[0])
     with jax.profiler.trace("/tmp/jt_wv_plain"):
-        _ = float(run_plain(jnp.float32(1e25))[0])
-    rw = run_wave(jnp.float32(0))
+        _ = float(run_plain(ps, o2s, d2s, tm2s, ldn, stm,
+                            jnp.float32(1e25))[0])
+    rw = run_wave(ws, smin, smax, o2s, d2s, tm2s, ldn, stm, jnp.float32(0))
     _ = float(rw[0])
     with jax.profiler.trace("/tmp/jt_wv_wave"):
-        _ = float(run_wave(jnp.float32(1e25))[0])
+        _ = float(run_wave(ws, smin, smax, o2s, d2s, tm2s, ldn, stm,
+                           jnp.float32(1e25))[0])
 
     for name, tdir in (("plain", "/tmp/jt_wv_plain"),
                        ("wave", "/tmp/jt_wv_wave")):
@@ -210,31 +212,37 @@ def main_steered():
 
     pstack, lstack = db.wave_pairs_stack, db.wave_leaf_stack
 
+    # arrays travel as jit ARGUMENTS: closed-over device arrays are baked
+    # into the HLO as constants (remote-compile rejects >limit payloads)
     @jax.jit
-    def run_plain(salt):
-        h1 = packet_trace_closest(ps, o2s, d2s, tm2s + salt, rows=rows)
-        occ = packet_trace_any(ps, o2s, ldn, stm * (1.0 + salt * 0), rows=rows)
+    def run_plain(ps_, o_, d_, tm_, ldn_, stm_, salt):
+        h1 = packet_trace_closest(ps_, o_, d_, tm_ + salt, rows=rows)
+        occ = packet_trace_any(ps_, o_, ldn_, stm_ * (1.0 + salt * 0), rows=rows)
         return (jnp.sum(h1.t * (h1.slot >= 0)) + jnp.sum(occ),
                 h1.t, h1.slot, occ)
 
     @jax.jit
-    def run_steer(salt):
+    def run_steer(ws_, pstack_, lstack_, smin_, smax_, o_, d_, tm_, ldn_,
+                  stm_, salt):
         h1 = packet_trace_closest_steered(
-            ws, pstack, lstack, smin, smax, o2s, d2s, tm2s + salt, rows=rows)
+            ws_, pstack_, lstack_, smin_, smax_, o_, d_, tm_ + salt, rows=rows)
         occ = packet_trace_any_steered(
-            ws, pstack, lstack, smin, smax, o2s, ldn,
-            stm * (1.0 + salt * 0), rows=rows)
+            ws_, pstack_, lstack_, smin_, smax_, o_, ldn_,
+            stm_ * (1.0 + salt * 0), rows=rows)
         return (jnp.sum(h1.t * (h1.slot >= 0)) + jnp.sum(occ),
                 h1.t, h1.slot, occ)
 
-    rb = run_plain(jnp.float32(0))
+    rb = run_plain(ps, o2s, d2s, tm2s, ldn, stm, jnp.float32(0))
     _ = float(rb[0])
     with jax.profiler.trace("/tmp/jt_st_plain"):
-        _ = float(run_plain(jnp.float32(1e25))[0])
-    rw = run_steer(jnp.float32(0))
+        _ = float(run_plain(ps, o2s, d2s, tm2s, ldn, stm,
+                            jnp.float32(1e25))[0])
+    rw = run_steer(ws, pstack, lstack, smin, smax, o2s, d2s, tm2s, ldn, stm,
+                   jnp.float32(0))
     _ = float(rw[0])
     with jax.profiler.trace("/tmp/jt_st_steer"):
-        _ = float(run_steer(jnp.float32(1e25))[0])
+        _ = float(run_steer(ws, pstack, lstack, smin, smax, o2s, d2s, tm2s,
+                            ldn, stm, jnp.float32(1e25))[0])
 
     for name, tdir in (("plain", "/tmp/jt_st_plain"),
                        ("steer", "/tmp/jt_st_steer")):
