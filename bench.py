@@ -59,11 +59,9 @@ def main():
     pt = PathTracer(
         scene, mats, lights, width, height, settings,
         packet_scene=db.packet_scene,
-        # segment root boxes drive the bounce-ray sort key
-        # (segment_wave_key) — without them sorting falls back to the
-        # weaker octant+cell key
-        wave_boxes=(None if db.wave_seg_min is None else
-                    (db.wave_seg_min, db.wave_seg_max)),
+        # WaveSet drives the bounce-ray sort key (segment_wave_key) AND
+        # the steered traversal for VMEM-segmented (Bistro-class) scenes
+        wave_boxes=db.wave_set(),
     )
 
     # warmup / compile

@@ -125,10 +125,9 @@ class Engine:
                 pipe.reset_accumulation()
                 pipe.pt.scene = self.db.device_scene
                 pipe.pt.packet_scene = self.db.packet_scene
-                if self.db.wave_seg_min is not None:
-                    import jax.numpy as _jnp
-                    pipe.pt.wave_boxes = (_jnp.asarray(self.db.wave_seg_min),
-                                          _jnp.asarray(self.db.wave_seg_max))
+                ws = self.db.wave_set()
+                if ws is not None:
+                    pipe.pt.wave_boxes = ws
                 self._accum_dirty = False
             out = pipe.render_frame(self.camera)
         else:

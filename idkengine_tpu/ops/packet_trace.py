@@ -1170,6 +1170,34 @@ def packet_trace_any_waves(ps_segs, seg_min, seg_max, o, d, t_max,
 # the chained fallback sweep (exact).
 
 STEER_K = int(__import__("os").environ.get("IDK_STEER_K", "8"))
+# Per-segment table budget for the steered kernel: the kernel double-buffers
+# one segment's pairs+leaf tables in scoped VMEM (2x budget) next to the ray
+# blocks/outputs and the ~16 MB scoped limit. 13 MB whole-scene segments are
+# fine for the resident chained kernel but NOT steerable.
+STEER_VMEM_BUDGET = int(__import__("os").environ.get(
+    "IDK_STEER_VMEM", "5000000"))
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class WaveSet:
+    """Segment set for wave-key sorting + steered traversal: the segment
+    PacketScenes, their row-concatenated tables (for the steered kernel's
+    dynamic-offset DMAs) and the per-segment root boxes (sort keys)."""
+
+    segs: tuple  # of PacketScene (common-padded shapes)
+    pairs_stack: jnp.ndarray  # (S*PR, 128)
+    leaf_stack: jnp.ndarray  # (S*LR, 128)
+    seg_min: jnp.ndarray  # (S,3)
+    seg_max: jnp.ndarray  # (S,3)
+
+    def tree_flatten(self):
+        return (self.segs, self.pairs_stack, self.leaf_stack,
+                self.seg_min, self.seg_max), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
 
 
 def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,

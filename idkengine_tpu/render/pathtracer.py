@@ -27,8 +27,9 @@ import numpy as np
 
 from ..ops.intersect import ray_sphere
 from ..ops.packet_trace import (
-    BOUNCE_ROWS, PACKET, PACKET_ROWS, packet_trace_any, packet_trace_closest,
-    segment_wave_key)
+    BOUNCE_ROWS, PACKET, PACKET_ROWS, WaveSet, packet_trace_any,
+    packet_trace_any_steered, packet_trace_closest,
+    packet_trace_closest_steered, segment_wave_key)
 from ..ops.trace import Hit, SceneArrays, trace_any, trace_closest
 from ..utils import rng
 from ..utils.compression import decompress_normal
@@ -152,10 +153,16 @@ class PathTracer:
     ):
         self.scene = scene
         self.packet_scene = packet_scene
-        # (S,3) min/max segment root boxes: enables the segment sort key
-        # (ops/packet_trace.segment_wave_key) for bounce coherence
-        self.wave_boxes = None if wave_boxes is None else (
-            jnp.asarray(wave_boxes[0]), jnp.asarray(wave_boxes[1]))
+        # wave_boxes: (S,3) min/max segment root boxes — enables the segment
+        # sort key (ops/packet_trace.segment_wave_key) for bounce coherence.
+        # A full WaveSet additionally enables the STEERED traversal for
+        # VMEM-segmented scenes (one launch + per-packet table DMA instead
+        # of S chained whole-batch launches).
+        if wave_boxes is None or isinstance(wave_boxes, WaveSet):
+            self.wave_boxes = wave_boxes
+        else:
+            self.wave_boxes = (jnp.asarray(wave_boxes[0]),
+                               jnp.asarray(wave_boxes[1]))
         self.mats = {k: jnp.asarray(v) for k, v in materials.items() if k != "count"}
         self.lights = {k: jnp.asarray(v) for k, v in lights.items() if k != "count"}
         self.n_lights = int(lights.get("count", 0))
@@ -289,13 +296,29 @@ class PathTracer:
         aov_depth = jnp.zeros((r,), jnp.float32)
         rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
 
+        # steered traversal for VMEM-segmented scenes: the chained fallback
+        # inside the steered trace sweeps the (finer) wave segments, so the
+        # resident packet segments aren't needed at all on this path
+        use_steered = (use_packet and isinstance(packet_scene, tuple)
+                       and isinstance(wave_boxes, WaveSet))
+
         def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
+            if use_steered:
+                w_ = wave_boxes
+                return packet_trace_closest_steered(
+                    w_.segs, w_.pairs_stack, w_.leaf_stack,
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
             if use_packet:
                 return packet_trace_closest(packet_scene, o_, d_, t_max_,
                                             rows=rows)
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
 
         def _occluded(o_, d_, t_max_, rows=PACKET_ROWS):
+            if use_steered:
+                w_ = wave_boxes
+                return packet_trace_any_steered(
+                    w_.segs, w_.pairs_stack, w_.leaf_stack,
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
             if use_packet:
                 return packet_trace_any(packet_scene, o_, d_, t_max_,
                                         rows=rows)
@@ -394,10 +417,13 @@ class PathTracer:
             # closest vs the octant+cell key — tools/bench_waves.py). Falls
             # back to direction octant (3 bits) + Morton origin cell.
             if wave_boxes is not None:
+                if isinstance(wave_boxes, WaveSet):
+                    smin_, smax_ = wave_boxes.seg_min, wave_boxes.seg_max
+                else:
+                    smin_, smax_ = wave_boxes
                 tm_ = jnp.where(alive_, jnp.float32(3.4e38), -1.0)
                 return segment_wave_key(
-                    o_, d_, tm_, wave_boxes[0], wave_boxes[1],
-                    scene_lo, scene_ext)
+                    o_, d_, tm_, smin_, smax_, scene_lo, scene_ext)
             oct_ = (
                 (d_[:, 0] >= 0).astype(jnp.int32)
                 + 2 * (d_[:, 1] >= 0).astype(jnp.int32)

@@ -283,8 +283,7 @@ class PathTracerPipeline:
             scene_db.lights.soa(),
             width, height, pt_settings, env_map=env_map,
             packet_scene=scene_db.packet_scene,
-            wave_boxes=(None if scene_db.wave_seg_min is None else
-                        (scene_db.wave_seg_min, scene_db.wave_seg_max)),
+            wave_boxes=scene_db.wave_set(),
         )
         self.width, self.height = width, height
 

@@ -222,11 +222,17 @@ class SceneDatabase:
                 log.warning("packet tables unavailable: %s", e)
         if self.packet_scene is not None and self.wave_scene is None and \
                 isinstance(self.packet_scene, tuple):
-            # over-budget scene: its chained segments double as wave segments
-            self._wave_tables = self._packet_tables
-            self.wave_scene = self.packet_scene
-            self._set_wave_boxes(self._packet_tables)
-            self._set_wave_stack(self._packet_tables)
+            # over-budget scene: build a FINER wave set sized for the steered
+            # kernel (its double-buffered segment DMA needs 2x the segment
+            # tables inside the ~16 MB scoped VMEM — the resident chained
+            # segments are too big to steer)
+            self._build_wave_scene(self.meta.packet_vmem_bytes)
+            if self.wave_scene is None:
+                # fall back to aliasing the chained segments (sort keys only)
+                self._wave_tables = self._packet_tables
+                self.wave_scene = self.packet_scene
+                self._set_wave_boxes(self._packet_tables)
+                self._set_wave_stack(self._packet_tables)
 
     def _build_wave_scene(self, total_bytes: int):
         """Segment the BVH into ~IDK_WAVE_SEGS treelets for the wave tracer
@@ -237,12 +243,14 @@ class SceneDatabase:
         import os
 
         from ..ops.packet_trace import (
-            PacketScene, build_packet_tables_segmented)
+            STEER_VMEM_BUDGET, PacketScene, build_packet_tables_segmented)
 
         n_segs = int(os.environ.get("IDK_WAVE_SEGS", "16"))
         if n_segs <= 1:
             return
-        budget = max(total_bytes // n_segs, 200_000)
+        # cap at the steered kernel's double-buffer budget so big scenes'
+        # wave segments stay steerable
+        budget = min(max(total_bytes // n_segs, 200_000), STEER_VMEM_BUDGET)
         try:
             segs = build_packet_tables_segmented(
                 self.blas.nodes, self.blas.tri_indices,
@@ -257,6 +265,23 @@ class SceneDatabase:
         self._set_wave_stack(segs)
         log.info("wave tracer: %d segments (max %.2f MB)", len(segs),
                  max(t.vmem_bytes for t in segs) / 1e6)
+
+    def wave_set(self):
+        """WaveSet for the PathTracer: segment sort keys + steered
+        traversal tables; None when no wave segments were built."""
+        if self.wave_scene is None or self.wave_pairs_stack is None:
+            return None
+        import jax.numpy as jnp
+
+        from ..ops.packet_trace import WaveSet
+
+        return WaveSet(
+            segs=tuple(self.wave_scene),
+            pairs_stack=self.wave_pairs_stack,
+            leaf_stack=self.wave_leaf_stack,
+            seg_min=jnp.asarray(self.wave_seg_min),
+            seg_max=jnp.asarray(self.wave_seg_max),
+        )
 
     @staticmethod
     def _pad_tables_common(tables):
@@ -390,6 +415,131 @@ class SceneDatabase:
                     PacketScene.from_tables(t) for t in self._wave_tables)
             self._set_wave_boxes(self._wave_tables)
             self._set_wave_stack(self._wave_tables)
+        return self.device_scene
+
+    # ------------------------------------------------------------------
+    def _get_refitter(self):
+        """Lazily build the device refit plan (render/dynamic.py). The plan
+        covers BOTH table sets (chained packet segments + wave segments)."""
+        if getattr(self, "_refitter", None) is None:
+            from ..render.dynamic import DeviceRefitter, build_refit_plan
+
+            tb_packet = ([] if self._packet_tables is None else
+                         (self._packet_tables
+                          if isinstance(self._packet_tables, list)
+                          else [self._packet_tables]))
+            tb_wave = ([] if (self._wave_tables is None
+                              or self._wave_tables is self._packet_tables)
+                       else list(self._wave_tables))
+            all_tables = tb_packet + tb_wave
+            self._n_refit_packet = len(tb_packet)
+            plan = build_refit_plan(
+                self._flat, self._slot_tri, self._indices,
+                self.build_settings.max_leaf_triangle_count,
+                packet_tables=all_tables or None)
+            self._refitter = DeviceRefitter(plan, self.device_scene)
+            # static placement->vertex map for the device transform path
+            vid = np.zeros(self._verts.shape[0], np.int32)
+            for pi_, (mi, ni, p, im, v0, v1) in enumerate(self._placements):
+                vid[v0:v1] = pi_
+            self._placement_of_vertex = vid
+            import jax.numpy as jnp
+
+            self._verts_local = jnp.asarray(self._verts)
+            self._normals_local = jnp.asarray(self._normals)
+        return self._refitter
+
+    def update_device(self, time: float, animation_index: int = 0):
+        """Per-frame scene update entirely ON DEVICE: host samples the
+        animation transforms (small scalars), the device transforms
+        vertices, refits the BVH level-by-level and refreshes the packet
+        tables — no geometry readback (SURVEY.md §7 step 7; contrast
+        update(), which mirrors the reference's fenced-readback CPU refit).
+
+        Returns the refreshed SceneArrays (also updates packet/wave state)."""
+        from . import animation as anim_mod
+        from . import skinning as skin_mod
+
+        import jax.numpy as jnp
+
+        refitter = self._get_refitter()
+        any_dynamic = False
+        n_place = len(self._placements)
+        mats = np.tile(np.eye(4, dtype=np.float32)[None], (n_place, 1, 1))
+        skinned: list[tuple[int, int, object, object]] = []
+        for mi, model in enumerate(self.models):
+            if not model.animations:
+                continue
+            anim = model.animations[min(animation_index,
+                                        len(model.animations) - 1)]
+            anim_mod.apply_animation(model, anim, time)
+            transforms = model.global_transforms()
+            any_dynamic = True
+            jm_cache: dict[int, np.ndarray] = {}
+            for pi_, (mi2, ni, pidx, im, v0, v1) in enumerate(self._placements):
+                if mi2 != mi:
+                    continue
+                node = model.nodes[ni]
+                prim = model.primitives[pidx]
+                if node.skin >= 0 and prim.joints is not None:
+                    if node.skin not in jm_cache:
+                        jm_cache[node.skin] = skin_mod.joint_matrices(
+                            transforms, model.skins[node.skin])
+                    jm = jm_cache[node.skin]
+                    sp = skin_mod.skin_positions(
+                        jnp.asarray(prim.positions),
+                        jnp.asarray(prim.joints.astype(np.int32)),
+                        jnp.asarray(prim.weights), jnp.asarray(jm))
+                    sn = skin_mod.skin_normals(
+                        jnp.asarray(prim.normals),
+                        jnp.asarray(prim.joints.astype(np.int32)),
+                        jnp.asarray(prim.weights), jnp.asarray(jm))
+                    skinned.append((v0, v1, sp, sn))
+                else:
+                    mats[pi_] = transforms[ni] @ im
+        if not any_dynamic:
+            return self.device_scene
+
+        M = jnp.asarray(mats)[self._placement_of_vertex]  # (V,4,4)
+        verts = jnp.einsum("vij,vj->vi", M[:, :3, :3], self._verts_local) \
+            + M[:, :3, 3]
+        nrm_m = jnp.transpose(jnp.linalg.inv(M[:, :3, :3]), (0, 2, 1))
+        normals = jnp.einsum("vij,vj->vi", nrm_m, self._normals_local)
+        normals = normals / jnp.maximum(
+            jnp.linalg.norm(normals, axis=-1, keepdims=True), 1e-12)
+        for v0, v1, sp, sn in skinned:
+            verts = verts.at[v0:v1].set(sp)
+            normals = normals.at[v0:v1].set(sn)
+
+        # one refit covers scene arrays + every packed table set: the
+        # plan groups [packet segments..., wave segments...]
+        pk_scenes = ([] if self.packet_scene is None else
+                     (list(self.packet_scene)
+                      if isinstance(self.packet_scene, tuple)
+                      else [self.packet_scene]))
+        aliased = (self._wave_tables is self._packet_tables)
+        wv_scenes = ([] if (self.wave_scene is None or aliased)
+                     else list(self.wave_scene))
+        packet_in = tuple(pk_scenes + wv_scenes) or None
+        new_scene, new_pk, (wmin, wmax) = refitter.refit(
+            self.device_scene, verts, normals, packet_in)
+        self.device_scene = new_scene
+        if new_pk is not None:
+            npk = self._n_refit_packet
+            if npk:
+                self.packet_scene = (tuple(new_pk[:npk])
+                                     if isinstance(self.packet_scene, tuple)
+                                     else new_pk[0])
+            if self.wave_scene is not None:
+                new_wave = (tuple(new_pk[:npk]) if aliased
+                            else tuple(new_pk[npk:]))
+                self.wave_scene = new_wave
+                self.wave_seg_min = (wmin[:npk] if aliased else wmin[npk:])
+                self.wave_seg_max = (wmax[:npk] if aliased else wmax[npk:])
+                self.wave_pairs_stack = jnp.concatenate(
+                    [p.pairs for p in new_wave], axis=0)
+                self.wave_leaf_stack = jnp.concatenate(
+                    [p.leaf_geo for p in new_wave], axis=0)
         return self.device_scene
 
     # ------------------------------------------------------------------

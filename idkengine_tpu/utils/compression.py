@@ -61,6 +61,19 @@ def compress_normal(n: np.ndarray) -> np.ndarray:
     return pack_snorm2x16(encode_octahedral(n))
 
 
+def compress_normal_xp(n, xp=np):
+    """compress_normal for either backend (jnp path used by the device
+    refit, render/dynamic.py)."""
+    if xp is np:
+        return compress_normal(n)
+    n = n / jnp.maximum(jnp.sum(jnp.abs(n), axis=-1, keepdims=True), 1e-20)
+    p = n[..., :2]
+    p = jnp.where(n[..., 2:3] >= 0.0, p, _oct_wrap(p, jnp))
+    q = jnp.round(jnp.clip(p, -1.0, 1.0) * 32767.0).astype(jnp.int32)
+    return ((q[..., 0] & 0xFFFF)
+            | ((q[..., 1] & 0xFFFF) << 16)).astype(jnp.uint32)
+
+
 def decompress_normal(u, xp=np):
     return decode_octahedral(unpack_snorm2x16(u, xp), xp)
 

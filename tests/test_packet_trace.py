@@ -269,6 +269,40 @@ class TestWaveTracing:
                           <= 1e-6 * np.abs(bt[diff]) + 1e-6), (
                 name, np.nonzero(diff)[0][:5])
 
+    def test_pathtracer_steered_image_matches_single_table(self):
+        """PathTracer wiring: a segmented packet scene + WaveSet routes
+        traversal through the steered kernel and renders the same image as
+        the single-table packet path."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+        from idkengine_tpu.render import (
+            Camera, PathTracer, PathTracerSettings)
+
+        db, sc = self._scene()
+        db.lights.add([0.0, 8.0, 0.0], [30.0, 30.0, 30.0], radius=0.5)
+        mats = db.materials.soa()
+        lights = db.lights.soa()
+        cam = Camera(position=np.array([0, 3, 24], np.float32), yaw=-90.0,
+                     fov_y=65.0)
+        settings = PathTracerSettings(ray_depth=2, sky_strength=0.4,
+                                      use_packet_tracer=True)
+        pt.FORCE_INTERPRET = True
+        try:
+            ref = PathTracer(sc, mats, lights, 32, 16, settings,
+                             packet_scene=db.packet_scene)
+            img_ref = np.asarray(ref.render_frame(cam))
+            ws = db.wave_set()
+            assert ws is not None and len(ws.segs) >= 2
+            spt = PathTracer(sc, mats, lights, 32, 16, settings,
+                             packet_scene=tuple(ws.segs), wave_boxes=ws)
+            img_st = np.asarray(spt.render_frame(cam))
+        finally:
+            pt.FORCE_INTERPRET = False
+        rmse = float(np.sqrt(np.mean((img_st - img_ref) ** 2)))
+        assert rmse <= 2e-3, f"steered PT image diverged: RMSE {rmse:.2e}"
+
     def test_any_wave_and_steered_match_chained(self):
         import jax.numpy as jnp
         import numpy as np
