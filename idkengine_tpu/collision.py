@@ -44,8 +44,13 @@ def scene_vs_moving_sphere(
         if step_len < settings.epsilon * 0.01:
             break
         hit_any = False
-        sub = disp / settings.test_steps
-        for _ in range(settings.test_steps):
+        # substep length capped at radius/2: a substep longer than the
+        # radius can carry the center THROUGH a surface, flipping the
+        # contact normal and pushing the sphere out the far side
+        n_sub = max(settings.test_steps,
+                    int(np.ceil(step_len / max(radius * 0.5, 1e-6))))
+        sub = disp / n_sub
+        for _ in range(n_sub):
             new_pos = pos + sub
             # AABB around the swept sphere
             lo = np.minimum(pos, new_pos) - radius
@@ -80,6 +85,112 @@ def scene_vs_moving_sphere(
         if not hit_any:
             break
     return pos.astype(np.float32)
+
+
+def moving_sphere_vs_sphere(p0, v0, r0, p1, v1, r1):
+    """Continuous sphere-sphere collision over one step (ref:
+    Intersections.cs MovingSphereVsSphere:398+): first t in [0,1] where the
+    spheres touch, or None. Relative-motion quadratic."""
+    p0 = np.asarray(p0, np.float64)
+    p1 = np.asarray(p1, np.float64)
+    s = p1 - p0
+    v = np.asarray(v1, np.float64) - np.asarray(v0, np.float64)
+    r = float(r0) + float(r1)
+    c0 = s @ s - r * r
+    if c0 < 0.0:
+        return 0.0  # already overlapping
+    a = v @ v
+    if a < 1e-20:
+        return None
+    b = v @ s
+    if b >= 0.0:
+        return None  # separating
+    disc = b * b - a * c0
+    if disc < 0.0:
+        return None
+    t = (-b - np.sqrt(disc)) / a
+    return float(t) if 0.0 <= t <= 1.0 else None
+
+
+@dataclass
+class Frustum:
+    """Convex frustum as corner points + unique face/edge axes
+    (ref: Source/Shapes/Frustum.cs; built Gribb-Hartmann style from a
+    clip-space matrix)."""
+
+    corners: np.ndarray  # (8,3)
+    axes: np.ndarray  # (K,3) face normals (unnormalized ok)
+    edges: np.ndarray  # (E,3) edge directions for SAT cross axes
+
+    @staticmethod
+    def from_view_projection(vp: np.ndarray, zero_to_one_depth: bool = True,
+                             far_depth: float = 1e-4):
+        """Corners by unprojecting the NDC cube through inv(vp).
+
+        The engine's reverse-Z projection has an infinite far plane (depth
+        0); far corners are taken at `far_depth` instead (camera-space
+        distance near/far_depth), matching the reference's finite-frustum
+        culling use."""
+        inv = np.linalg.inv(np.asarray(vp, np.float64))
+        z0 = far_depth if zero_to_one_depth else -1.0
+        corners = []
+        for z in (z0, 1.0):
+            for y in (-1.0, 1.0):
+                for x in (-1.0, 1.0):
+                    h = inv @ np.array([x, y, z, 1.0])
+                    corners.append(h[:3] / h[3])
+        corners = np.asarray(corners)
+        # face normals from the 6 quads; edge dirs from the 3 families
+        n, f = corners[:4], corners[4:]
+        axes = []
+        quads = [
+            (corners[0], corners[1], corners[2]),  # near
+            (corners[4], corners[6], corners[5]),  # far
+            (corners[0], corners[2], corners[4]),  # left
+            (corners[1], corners[5], corners[3]),  # right
+            (corners[0], corners[4], corners[1]),  # bottom
+            (corners[2], corners[3], corners[6]),  # top
+        ]
+        for a, b, c in quads:
+            axes.append(np.cross(b - a, c - a))
+        edges = np.stack([
+            corners[1] - corners[0], corners[2] - corners[0],
+            corners[4] - corners[0], corners[5] - corners[1],
+            corners[6] - corners[2], corners[7] - corners[3],
+        ])
+        del n, f
+        return Frustum(corners=corners.astype(np.float64),
+                       axes=normalize(np.stack(axes)),
+                       edges=normalize(edges))
+
+    @staticmethod
+    def from_aabb(lo, hi):
+        lo = np.asarray(lo, np.float64)
+        hi = np.asarray(hi, np.float64)
+        corners = np.array([[lo[0], lo[1], lo[2]], [hi[0], lo[1], lo[2]],
+                            [lo[0], hi[1], lo[2]], [hi[0], hi[1], lo[2]],
+                            [lo[0], lo[1], hi[2]], [hi[0], lo[1], hi[2]],
+                            [lo[0], hi[1], hi[2]], [hi[0], hi[1], hi[2]]])
+        eye = np.eye(3)
+        return Frustum(corners=corners, axes=eye.copy(), edges=eye.copy())
+
+
+def convex_sat_intersect(a: Frustum, b: Frustum) -> bool:
+    """Separating-axis test between two convex hulls (ref:
+    Intersections.cs ConvexSATIntersect:458 — used for per-cubemap-face
+    shadow culling, CpuPointShadow.cs:116-185). Axes: both hulls' face
+    normals + pairwise edge cross products."""
+    axes = [a.axes, b.axes]
+    cross = np.cross(a.edges[:, None, :], b.edges[None, :, :]).reshape(-1, 3)
+    ln = np.linalg.norm(cross, axis=-1)
+    cross = cross[ln > 1e-9]
+    axes.append(cross)
+    for ax in np.concatenate(axes, axis=0):
+        pa = a.corners @ ax
+        pb = b.corners @ ax
+        if pa.max() < pb.min() or pb.max() < pa.min():
+            return False
+    return True
 
 
 def camera_collision(scene_db, camera, dt: float):

@@ -258,7 +258,7 @@ class PathTracer:
 
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
-                       packet_scene, wave_boxes):
+                       packet_scene, wave_boxes, rate_depth=None):
         # packet_scene travels as an ARGUMENT: closing over the tables bakes
         # them into the HLO as constants (a 2.8M-tri scene is ~150 MB of
         # tables — blows up the compile payload)
@@ -441,7 +441,14 @@ class PathTracer:
         # PathTracer.cs:273-297)
         pixel_of = swz
 
+        # adaptive per-ray bounce budget (the VRS-classifier feedback, ref:
+        # LightingShadingRateClassifier — rate-limited tiles shade coarser;
+        # here low-rate tiles terminate their paths earlier)
+        rd = None if rate_depth is None else rate_depth[swz].astype(jnp.int32)
+
         for bounce in range(s.ray_depth):
+            if rd is not None and bounce > 0:
+                alive = alive & (bounce < rd)
             if s.do_ray_sorting and bounce > 0 and use_packet:
                 # reorder via ONE multi-operand lax.sort: the sort network
                 # moves the payload with the keys, ~5x cheaper than
@@ -455,15 +462,18 @@ class PathTracer:
                     | (inside.astype(jnp.int32) << 1)
                     | (last_delta.astype(jnp.int32) << 2)
                 )
+                ops = (keyv, o[:, 0], o[:, 1], o[:, 2],
+                       d[:, 0], d[:, 1], d[:, 2],
+                       radiance[:, 0], radiance[:, 1], radiance[:, 2],
+                       throughput[:, 0], throughput[:, 1], throughput[:, 2],
+                       flags, state.astype(jnp.int32), pixel_of)
+                if rd is not None:
+                    ops = ops + (rd,)
+                out_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
                 (_, ox_, oy_, oz_, dx_, dy_, dz_, r0, r1, r2_, t0, t1, t2,
-                 flags, st_, pixel_of) = jax.lax.sort(
-                    (keyv, o[:, 0], o[:, 1], o[:, 2],
-                     d[:, 0], d[:, 1], d[:, 2],
-                     radiance[:, 0], radiance[:, 1], radiance[:, 2],
-                     throughput[:, 0], throughput[:, 1], throughput[:, 2],
-                     flags, state.astype(jnp.int32), pixel_of),
-                    num_keys=1, is_stable=False,
-                )
+                 flags, st_, pixel_of) = out_ops[:16]
+                if rd is not None:
+                    rd = out_ops[16]
                 o = jnp.stack([ox_, oy_, oz_], -1)
                 d = jnp.stack([dx_, dy_, dz_], -1)
                 radiance = jnp.stack([r0, r1, r2_], -1)
@@ -710,9 +720,12 @@ class PathTracer:
         return radiance, aov_albedo, aov_normal, aov_depth, rays_traced
 
     # ----------------------------------------------------------------
-    def render_frame(self, camera: Camera):
+    def render_frame(self, camera: Camera, rate_depth=None):
         """Trace spp_per_frame samples and fold into the running average
-        (ref: FinalDraw/compute.glsl accumulation)."""
+        (ref: FinalDraw/compute.glsl accumulation).
+
+        rate_depth: optional (H*W,) int32 per-pixel bounce budget from the
+        adaptive classifier (render/adaptive.py)."""
         cam_params = camera.ray_params(self.width, self.height)
         fn = self._get_compiled()
         self.last_rays_traced = 0.0
@@ -720,6 +733,7 @@ class PathTracer:
             radiance, alb, nrm, dep, nrays = fn(
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
                 jnp.uint32(self._frame), self.packet_scene, self.wave_boxes,
+                rate_depth,
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

@@ -258,6 +258,10 @@ class DeferredPipeline:
 class PtPipelineSettings:
     denoise_at_samples: int = 32  # ref: PathTracerPipeline auto-denoise threshold
     output: str = "denoised"  # noisy | denoised | albedo | normal (ref selector)
+    # adaptive bounce budget from the rate classifier (render/adaptive.py):
+    # smooth tiles terminate paths earlier next frame (the VRS feedback —
+    # ref LightingShadingRateClassifier actually changes shading cost)
+    adaptive_rate: bool = False
     use_bloom: bool = True
     bloom: bloom_mod.BloomSettings = field(default_factory=bloom_mod.BloomSettings)
     tonemap: tonemap_mod.TonemapSettings = field(
@@ -289,11 +293,29 @@ class PathTracerPipeline:
 
     def reset_accumulation(self):
         self.pt.reset_accumulation()
+        self._rate_depth = None
 
     def render_frame(self, camera: Camera) -> jnp.ndarray:
         s = self.settings
-        img = self.pt.render_frame(camera)
+        img = self.pt.render_frame(camera,
+                                   rate_depth=getattr(self, "_rate_depth", None))
         alb, nrm, dep = self.pt._last_aovs
+        if s.adaptive_rate and self.pt.accumulated_samples >= 2:
+            from . import adaptive
+
+            h_, w_ = self.height, self.width
+            rate = adaptive.classify(img, jnp.zeros((h_, w_, 2)))
+            depth = jnp.clip(
+                jnp.round(self.pt.settings.ray_depth * rate), 1,
+                self.pt.settings.ray_depth).astype(jnp.int32)
+            # expand 16x16 tiles to pixels (flat raster order); edge tiles
+            # the VALID reduce dropped keep the full budget
+            dm = jnp.repeat(jnp.repeat(depth, adaptive.TILE, 0),
+                            adaptive.TILE, 1)
+            dm = jnp.pad(dm, ((0, max(0, h_ - dm.shape[0])),
+                              (0, max(0, w_ - dm.shape[1]))),
+                         constant_values=self.pt.settings.ray_depth)
+            self._rate_depth = dm[:h_, :w_].reshape(-1)
         h, w = self.height, self.width
         if s.output == "albedo":
             return jnp.clip(alb.reshape(h, w, 3), 0, 1)

@@ -152,6 +152,11 @@ class _GltfFile:
         return data[start : start + bv["byteLength"]], img.get("mimeType", "")
 
 
+def decode_texture_bytes(raw: bytes, hint: str) -> np.ndarray | None:
+    """Public texture decode entry (async IO path, scene/async_io.py)."""
+    return _decode_image(raw, hint)
+
+
 def _decode_image(raw: bytes, hint: str) -> np.ndarray | None:
     """bytes → (H,W,4) uint8 or None."""
     if raw[:12].startswith(b"\xabKTX 20\xbb") or hint.endswith("ktx2"):
@@ -207,8 +212,13 @@ def _load_material(m: dict) -> Material:
     return mat
 
 
-def load_gltf(path: str, load_textures: bool = True) -> Model:
-    """Load a .gltf/.glb file into the engine Model representation."""
+def load_gltf(path: str, load_textures: bool = True,
+              defer_textures: bool = False) -> Model:
+    """Load a .gltf/.glb file into the engine Model representation.
+
+    defer_textures=True reads texture bytes but skips decoding — each
+    Texture carries source_bytes for a background decode
+    (ref: ModelLoader's async texture tasks; see scene/async_io.py)."""
     gf = _GltfFile(path)
     g = gf.json
     model = Model(name=os.path.basename(path))
@@ -235,18 +245,27 @@ def load_gltf(path: str, load_textures: bool = True) -> Model:
             if "KHR_texture_basisu" in ext:
                 src = ext["KHR_texture_basisu"]["source"]
             data = None
+            raw_bytes = None
             if src is not None:
                 if src not in img_cache:
                     try:
                         raw, hint = gf.image_bytes(src)
-                        img_cache[src] = _decode_image(raw, hint)
+                        if defer_textures:
+                            img_cache[src] = (None, raw, hint)
+                        else:
+                            img_cache[src] = (_decode_image(raw, hint),
+                                              None, hint)
                     except Exception as e:  # missing file etc.
                         log.warning("texture %d image %s undecodable: %s", ti, src, e)
-                        img_cache[src] = None
-                data = img_cache[src]
-            model.textures.append(
-                Texture(name=str(src), data=data, is_srgb=ti in srgb_targets)
-            )
+                        img_cache[src] = (None, None, "")
+                data, raw_bytes, hint2 = img_cache[src]
+            t = Texture(name=str(src) if raw_bytes is None else
+                        f"{src}.{hint2}", data=data,
+                        is_srgb=ti in srgb_targets)
+            if raw_bytes is not None:
+                t.source_bytes = raw_bytes
+                t.name = hint2  # decode hint travels in the name
+            model.textures.append(t)
 
     # --- mesh primitives -------------------------------------------------
     prim_map: dict[int, list[int]] = {}

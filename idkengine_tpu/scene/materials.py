@@ -80,6 +80,32 @@ class MaterialTable:
             self.normal_layer.append(layer_for(m.normal_texture))
         return offset
 
+    def adopt_texture(self, model: Model, mat_offset: int, ti: int,
+                      tex) -> int:
+        """Late-arriving texture (async decode finished): pack it into the
+        atlas and point every material slot that references texture `ti` at
+        the new layer. Returns the layer id (-1 on decode failure)."""
+        layer = self._add_texture(tex)
+        if layer < 0:
+            return -1
+        for mi, m in enumerate(model.materials):
+            g = mat_offset + mi
+            if g >= len(self.base_color):
+                continue
+            if m.base_color_texture == ti:
+                self.base_layer[g] = layer
+            if m.metallic_roughness_texture == ti:
+                self.mr_layer[g] = layer
+            if m.emissive_texture == ti:
+                self.emissive_layer[g] = layer
+            if m.normal_texture == ti:
+                self.normal_layer[g] = layer
+        return layer
+
+    def atlas_layer(self, layer: int) -> np.ndarray:
+        """One packed atlas layer (SIZE, SIZE, 4) uint8."""
+        return self._atlas_layers[layer]
+
     def soa(self) -> dict[str, np.ndarray]:
         if not self.base_color:
             from .model import Material

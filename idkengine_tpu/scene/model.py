@@ -46,6 +46,9 @@ class Texture:
     name: str = ""
     data: np.ndarray | None = None  # (H, W, 4) uint8, None if undecodable
     is_srgb: bool = True
+    # deferred-decode payload (async IO, scene/async_io.py); name carries
+    # the decode hint (file extension) when set
+    source_bytes: bytes | None = None
 
 
 @dataclass

@@ -364,3 +364,58 @@ class TestNewPasses:
         assert img.shape == (32, 32, 3)
         assert np.isfinite(img).all() and img.std() > 0
         assert pipe.rate_map.shape == (2, 2)
+
+
+def test_adaptive_rate_depth_feedback():
+    """VRS-classifier feedback: a per-pixel bounce budget of 1 must equal a
+    depth-1 render; the PT pipeline wires the classifier map through."""
+    import numpy as np
+
+    from idkengine_tpu.render import Camera, PathTracer, PathTracerSettings
+    from idkengine_tpu.render.pipeline import (
+        PathTracerPipeline, PtPipelineSettings)
+    from idkengine_tpu.scene.procedural import cornell_box
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    db = SceneDatabase()
+    db.add_model(cornell_box(emissive_quad=False))
+    scene = db.build()
+    db.lights.add([278, 480, 279.5], [6, 6, 6], radius=45.0)
+    cam = Camera(position=np.array([278, 273, -800], np.float32), yaw=90.0,
+                 fov_y=38.0)
+    mats, lights = db.materials.soa(), db.lights.soa()
+
+    pt3 = PathTracer(scene, mats, lights, 32, 32,
+                     PathTracerSettings(ray_depth=3, sky_strength=0.0,
+                                        use_packet_tracer=False))
+    img_budget1 = np.asarray(pt3.render_frame(
+        cam, rate_depth=jnp.ones((32 * 32,), jnp.int32)))
+    pt1 = PathTracer(scene, mats, lights, 32, 32,
+                     PathTracerSettings(ray_depth=1, sky_strength=0.0,
+                                        use_packet_tracer=False))
+    img_d1 = np.asarray(pt1.render_frame(cam))
+    np.testing.assert_allclose(img_budget1, img_d1, rtol=1e-5, atol=1e-6)
+
+    # full budget == unconstrained
+    pt3b = PathTracer(scene, mats, lights, 32, 32,
+                      PathTracerSettings(ray_depth=3, sky_strength=0.0,
+                                         use_packet_tracer=False))
+    img_full = np.asarray(pt3b.render_frame(
+        cam, rate_depth=jnp.full((32 * 32,), 3, jnp.int32)))
+    pt3c = PathTracer(scene, mats, lights, 32, 32,
+                      PathTracerSettings(ray_depth=3, sky_strength=0.0,
+                                         use_packet_tracer=False))
+    np.testing.assert_allclose(img_full, np.asarray(pt3c.render_frame(cam)),
+                               rtol=1e-5, atol=1e-6)
+
+    # pipeline wiring: classifier map materializes after 2 samples
+    pipe = PathTracerPipeline(
+        db, 32, 32,
+        PathTracerSettings(ray_depth=3, sky_strength=0.0,
+                           use_packet_tracer=False),
+        PtPipelineSettings(adaptive_rate=True, output="noisy",
+                           use_bloom=False))
+    pipe.render_frame(cam)
+    pipe.render_frame(cam)
+    assert getattr(pipe, "_rate_depth", None) is not None
+    pipe.render_frame(cam)  # consumes the map

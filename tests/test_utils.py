@@ -165,3 +165,49 @@ class TestProjection:
         m = mu.look_at(np.array([0, 0, 5.0]), np.zeros(3), np.array([0, 1.0, 0]))
         v = m @ np.array([0, 0, 0, 1.0])
         np.testing.assert_allclose(v[:3], [0, 0, -5], atol=1e-6)
+
+
+def test_moving_sphere_vs_sphere_ccd():
+    from idkengine_tpu.collision import moving_sphere_vs_sphere
+
+    # head-on: spheres 10 apart, radii 1+1, closing speed 10 => touch at
+    # t = (10-2)/10 = 0.8
+    t = moving_sphere_vs_sphere([0, 0, 0], [10, 0, 0], 1.0,
+                                [10, 0, 0], [0, 0, 0], 1.0)
+    assert t is not None and abs(t - 0.8) < 1e-9
+    # separating: no hit
+    assert moving_sphere_vs_sphere([0, 0, 0], [-5, 0, 0], 1.0,
+                                   [10, 0, 0], [5, 0, 0], 1.0) is None
+    # already overlapping: t=0
+    assert moving_sphere_vs_sphere([0, 0, 0], [0, 0, 0], 2.0,
+                                   [1, 0, 0], [0, 0, 0], 2.0) == 0.0
+    # grazing miss (lateral offset > sum radii)
+    assert moving_sphere_vs_sphere([0, 2.1, 0], [10, 0, 0], 1.0,
+                                   [10, 0, 0], [0, 0, 0], 1.0) is None
+
+
+def test_frustum_sat_intersect():
+    import numpy as np
+
+    from idkengine_tpu.collision import Frustum, convex_sat_intersect
+    from idkengine_tpu.utils import mathutil as mu
+
+    view = mu.look_at(np.array([0.0, 0, 0]), np.array([0.0, 0, -1]),
+                      np.array([0.0, 1, 0]))
+    proj = mu.perspective_reverse_z(60.0, 1.0, 0.1)
+    fr = Frustum.from_view_projection(proj @ view)
+
+    # box in front of the camera intersects, box behind does not
+    assert convex_sat_intersect(fr, Frustum.from_aabb([-1, -1, -6], [1, 1, -4]))
+    assert not convex_sat_intersect(fr, Frustum.from_aabb([-1, -1, 4], [1, 1, 6]))
+    # box far off to the side: disjoint
+    assert not convex_sat_intersect(fr, Frustum.from_aabb([50, -1, -6], [52, 1, -4]))
+    # two frustums looking at each other overlap; rotated-apart ones do not
+    view2 = mu.look_at(np.array([0.0, 0, -20]), np.array([0.0, 0, 0]),
+                       np.array([0.0, 1, 0]))
+    fr2 = Frustum.from_view_projection(proj @ view2)
+    assert convex_sat_intersect(fr, fr2)
+    view3 = mu.look_at(np.array([0.0, 0, 200]), np.array([0.0, 0, 300]),
+                       np.array([0.0, 1, 0]))
+    fr3 = Frustum.from_view_projection(proj @ view3)
+    assert not convex_sat_intersect(fr, fr3)
