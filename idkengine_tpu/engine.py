@@ -164,32 +164,53 @@ class Engine:
 
 
 def save_config(settings: EngineSettings, path: str):
-    """Settings → JSON (the config-file replacement for the reference GUI)."""
+    """Settings → JSON (the config-file replacement for the reference GUI:
+    every widget in Gui.cs maps to a field somewhere in this tree)."""
 
     def enc(o):
         if isinstance(o, enum.Enum):
             return o.value
         if isinstance(o, tuple):
             return list(o)
+        if isinstance(o, np.ndarray):
+            return o.tolist()
         return str(o)
 
     with open(path, "w") as f:
         json.dump(asdict(settings), f, indent=2, default=enc)
 
 
+def _restore_dataclass(obj, raw: dict):
+    """Recursively rebuild a (possibly frozen, possibly nested) dataclass
+    from its JSON dict, coercing enums/tuples/ndarrays back to the field's
+    current type. Unknown keys are ignored (forward compatibility)."""
+    import dataclasses
+
+    kwargs = {}
+    for f in dataclasses.fields(obj):
+        if f.name not in raw:
+            continue
+        cur = getattr(obj, f.name)
+        v = raw[f.name]
+        if dataclasses.is_dataclass(cur) and isinstance(v, dict):
+            kwargs[f.name] = _restore_dataclass(cur, v)
+        elif isinstance(cur, enum.Enum):
+            kwargs[f.name] = type(cur)(v)
+        elif isinstance(cur, tuple):
+            kwargs[f.name] = tuple(v)
+        elif isinstance(cur, np.ndarray):
+            kwargs[f.name] = np.asarray(v, cur.dtype)
+        elif isinstance(cur, bool):
+            kwargs[f.name] = bool(v)
+        elif isinstance(cur, (int, float, str)) and not isinstance(v, (dict, list)):
+            kwargs[f.name] = type(cur)(v)
+    import dataclasses as _dc
+
+    return _dc.replace(obj, **kwargs)
+
+
 def load_config(path: str) -> EngineSettings:
+    """Restore the FULL settings tree (engine + both pipelines + post)."""
     with open(path) as f:
         raw = json.load(f)
-    s = EngineSettings()
-    s.width = raw.get("width", s.width)
-    s.height = raw.get("height", s.height)
-    s.mode = RenderMode(raw.get("mode", s.mode.value))
-    if "pt" in raw:
-        from dataclasses import replace
-
-        known = {k: v for k, v in raw["pt"].items() if hasattr(s.pt, k)}
-        for k in ("sky_zenith", "sky_horizon"):
-            if k in known:
-                known[k] = tuple(known[k])
-        s.pt = replace(s.pt, **known)
-    return s
+    return _restore_dataclass(EngineSettings(), raw)

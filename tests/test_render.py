@@ -419,3 +419,42 @@ def test_adaptive_rate_depth_feedback():
     pipe.render_frame(cam)
     assert getattr(pipe, "_rate_depth", None) is not None
     pipe.render_frame(cam)  # consumes the map
+
+
+def test_config_full_roundtrip(tmp_path):
+    """Every field in the settings tree survives JSON save/load — the
+    reference's Gui settings surface equivalent (ref: Gui.cs)."""
+    import dataclasses
+
+    from idkengine_tpu.engine import (
+        EngineSettings, RenderMode, load_config, save_config)
+    from idkengine_tpu.render import PathTracerSettings
+    from idkengine_tpu.render.pipeline import PtPipelineSettings
+
+    s = EngineSettings(width=320, height=200, mode=RenderMode.RASTERIZER)
+    s.pt = dataclasses.replace(
+        s.pt, ray_depth=7, russian_roulette=False, do_ray_sorting=True,
+        sky_zenith=(0.1, 0.2, 0.3), tile_size=256)
+    s.pt_pipeline = dataclasses.replace(
+        s.pt_pipeline, output="albedo", adaptive_rate=True,
+        denoise_at_samples=7, use_bloom=False)
+    s.deferred = dataclasses.replace(
+        s.deferred, **{k: v for k, v in [("shadow_mode", "pcf")]
+                       if hasattr(s.deferred, k)})
+    s.camera_collision = False
+    p = tmp_path / "cfg.json"
+    save_config(s, str(p))
+    r = load_config(str(p))
+    assert r.width == 320 and r.height == 200
+    assert r.mode == RenderMode.RASTERIZER
+    assert r.pt.ray_depth == 7 and r.pt.do_ray_sorting
+    assert r.pt.sky_zenith == (0.1, 0.2, 0.3)
+    assert r.pt.tile_size == 256 and not r.pt.russian_roulette
+    assert r.pt_pipeline.output == "albedo" and r.pt_pipeline.adaptive_rate
+    assert r.pt_pipeline.denoise_at_samples == 7
+    assert not r.pt_pipeline.use_bloom
+    assert not r.camera_collision
+    # nested post-processing settings survive too
+    assert r.pt_pipeline.bloom == s.pt_pipeline.bloom
+    assert r.pt_pipeline.tonemap == s.pt_pipeline.tonemap
+    assert r.deferred == s.deferred
