@@ -151,6 +151,40 @@ def trace_closest(scene: SceneArrays, o, d, t_max=None, max_steps: int = 1 << 30
 
 
 @partial(jax.jit, static_argnames=("max_steps",))
+def trace_closest_steps(scene: SceneArrays, o, d, t_max=None,
+                        max_steps: int = 1 << 30):
+    """trace_closest + per-ray traversal step counts (the debug-statistics
+    path, ref: BLAS.cs DebugStatistics counters + the BVH-cost heatmap)."""
+    r = o.shape[0]
+    if t_max is None:
+        t_max = jnp.full((r,), INF)
+    elif jnp.ndim(t_max) == 0:
+        t_max = jnp.full((r,), t_max)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    carry0 = (
+        jnp.zeros((r,), jnp.int32),
+        t_max.astype(jnp.float32),
+        jnp.full((r,), -1, jnp.int32),
+        jnp.zeros((r,), jnp.float32),
+        jnp.zeros((r,), jnp.float32),
+    )
+
+    def cond(state):
+        step, carry, steps = state
+        return (step < max_steps) & jnp.any(carry[0] >= 0)
+
+    def body(state):
+        step, carry, steps = state
+        steps = steps + (carry[0] >= 0).astype(jnp.int32)
+        return step + 1, _traversal_step(scene, o, d, inv_d, carry, False, None), steps
+
+    _, (ptr, t, slot, u, v), steps = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), carry0, jnp.zeros((r,), jnp.int32)))
+    return Hit(t=t, slot=slot, u=u, v=v), steps
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
 def trace_any(scene: SceneArrays, o, d, t_max, max_steps: int = 1 << 30):
     """Any-hit (occlusion) trace: returns bool (R,) 'occluded before t_max'.
 

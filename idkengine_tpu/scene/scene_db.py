@@ -50,6 +50,7 @@ class SceneMeta:
     n_triangles: int = 0
     n_nodes: int = 0
     sah_cost: float = 0.0
+    epo: float = 0.0
     build_ms: float = 0.0
     slot_instance: np.ndarray | None = None  # (T,) instance id per slot
     n_instances: int = 0
@@ -164,10 +165,19 @@ class SceneDatabase:
         self.meta.n_nodes = int(self._flat.node_min.shape[0])
         self.meta.sah_cost = self.blas.sah_cost
         self.meta.build_ms = self.blas.build_ms
+        # quality metrics logged per build like the reference (SAH + EPO,
+        # ref: Bvh/BVH.cs:460-469 + BLAS.ComputeGlobalEPO) — SAH alone
+        # misses node-overlap pathologies
+        import os as _os
+
+        self.meta.epo = (self.blas.epo()
+                         if _os.environ.get("IDK_EPO", "1") != "0"
+                         else float("nan"))
         log.info(
-            "scene built: %d tris → %d slots, %d nodes, SAH %.1f, %.0f ms",
+            "scene built: %d tris → %d slots, %d nodes, SAH %.1f, "
+            "EPO %.3f, %.0f ms",
             self.meta.n_triangles, self._slot_tri.shape[0], self.meta.n_nodes,
-            self.meta.sah_cost, self.meta.build_ms,
+            self.meta.sah_cost, self.meta.epo, self.meta.build_ms,
         )
         return self.device_scene
 

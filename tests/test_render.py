@@ -458,3 +458,37 @@ def test_config_full_roundtrip(tmp_path):
     assert r.pt_pipeline.bloom == s.pt_pipeline.bloom
     assert r.pt_pipeline.tonemap == s.pt_pipeline.tonemap
     assert r.deferred == s.deferred
+
+
+def test_debug_views():
+    """BVH traversal-cost heatmap + selection box overlay (ref: Turbo BVH
+    debug in FinalDraw + BoxRenderer)."""
+    import numpy as np
+
+    from idkengine_tpu.render import Camera, PathTracer, PathTracerSettings
+    from idkengine_tpu.render.debug_view import (
+        draw_box_overlay, traversal_cost_image, turbo)
+    from idkengine_tpu.scene.procedural import cornell_box
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    db = SceneDatabase()
+    db.add_model(cornell_box(emissive_quad=False))
+    scene = db.build()
+    assert np.isfinite(db.meta.epo) and db.meta.epo >= 0.0
+    pt = PathTracer(scene, db.materials.soa(), db.lights.soa(), 32, 32,
+                    PathTracerSettings(use_packet_tracer=False))
+    cam = Camera(position=np.array([278, 273, -800], np.float32), yaw=90.0,
+                 fov_y=38.0)
+    img = np.asarray(traversal_cost_image(pt, cam, max_cost=64))
+    assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+    assert img.std() > 0.01  # cost varies across the frame
+
+    t = np.asarray(turbo(np.linspace(0, 1, 8)))
+    assert t.shape == (8, 3) and (t >= 0).all() and (t <= 1).all()
+    assert t[1, 2] > t[1, 0]  # low end is blue-ish
+    assert t[-1, 0] > t[-1, 2]  # high end is red-ish
+
+    base = np.zeros((32, 32, 3), np.float32)
+    over = draw_box_overlay(base, cam, [100, 0, 100], [456, 300, 459])
+    assert (over != base).any()
+    assert over.max() <= 1.0
