@@ -164,6 +164,24 @@ class Frustum:
                        edges=normalize(edges))
 
     @staticmethod
+    def from_corner_rays(origin, corner_dirs, near: float, far: float):
+        """Frustum from an apex + 4 corner directions (cubemap-face
+        frustums for per-face shadow culling, ref: CpuPointShadow.cs
+        per-face SAT visibility culling :116-185)."""
+        origin = np.asarray(origin, np.float64)
+        dirs = np.asarray(corner_dirs, np.float64)
+        dirs = dirs / np.linalg.norm(dirs, axis=-1, keepdims=True)
+        corners = np.concatenate([origin + dirs * near, origin + dirs * far])
+        axes = []
+        for a, b in ((0, 1), (1, 2), (2, 3), (3, 0)):
+            axes.append(np.cross(dirs[a], dirs[b]))
+        axes.append(np.cross(dirs[1] - dirs[0], dirs[2] - dirs[0]))  # near/far
+        edges = normalize(np.concatenate([
+            dirs, [corners[1] - corners[0], corners[2] - corners[1]]]))
+        return Frustum(corners=corners, axes=normalize(np.stack(axes)),
+                       edges=edges)
+
+    @staticmethod
     def from_aabb(lo, hi):
         lo = np.asarray(lo, np.float64)
         hi = np.asarray(hi, np.float64)

@@ -87,6 +87,16 @@ class Engine:
         """Runtime Rasterizer↔PathTracer switch (ref: Application mode request)."""
         self.settings.mode = mode
 
+    def add_model_runtime(self, model, transform=None) -> int:
+        """Drop a model into the running scene (ref: OnFilesDrop →
+        Gui.AddModelDialog → ModelManager.Add): only the new model's BLAS
+        is built; pipelines rebuild their bindings on the next frame (the
+        reference recreates its SSBOs + resets accumulation the same way)."""
+        inst = self.db.add_model_runtime(model, transform)
+        self._pipelines.clear()
+        self._accum_dirty = True
+        return inst
+
     # ------------------------------------------------------------------
     def update(self, dt: float, move=np.zeros(3), look=(0.0, 0.0)):
         """Fixed-step update with sub-stepping (ref: GameWindowBase loop +
@@ -128,6 +138,7 @@ class Engine:
                 ws = self.db.wave_set()
                 if ws is not None:
                     pipe.pt.wave_boxes = ws
+                pipe.pt.instances = self.db.instance_set()
                 self._accum_dirty = False
             out = pipe.render_frame(self.camera)
         else:

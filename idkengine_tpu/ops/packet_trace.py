@@ -65,6 +65,12 @@ WIDE = bool(int(__import__('os').environ.get('IDK_WIDE', '1')))
 # child any-hit reduction: 'sum4' = 4 packed jnp.sum reduces,
 # 'orroll' = per-lane bitmask + log-step bitwise-OR rolls + 1 extraction
 REDUCE = __import__('os').environ.get('IDK_REDUCE', 'sum4')
+# Co-traversing chains per kernel: the ~1k-cycle vector->scalar sync per
+# node visit is a pipeline DRAIN shared by independent work in the same
+# loop iteration (tools/bench_dual.py: 1 chain ~1100 cyc/visit, 4 chains
+# ~350 cyc/visit). Each chain traverses its own rows-slice of the packet
+# with its own stack; chains==1 reproduces the single-packet kernel.
+CHAINS = int(__import__('os').environ.get('IDK_COCHAINS', '1'))
 
 
 # ---------------------------------------------------------------------------
@@ -574,37 +580,40 @@ def _slab(ox, oy, oz, ix, iy, iz, bx0, by0, bz0, bx1, by1, bz1, t_best):
 
 def _build_run_seg(any_hit, rows, wide, packet,
                    ox, oy, oz, dx, dy, dz, ix, iy, iz,
-                   neg_x, neg_y, neg_z, stack0_ref, stack1_ref):
+                   neg_x, neg_y, neg_z, stack0_ref, stack1_ref,
+                   chains: int = 1):
     """One full stack traversal of one node/leaf table pair against the
     packet's rays. Shared by the whole-table kernel and the multi-steer
-    kernel (which runs it once per steered segment with a fresh t_maxk)."""
-    def run_seg(pairs_ref, leaf_ref, t_maxk):
-        rm0 = pairs_ref[0, 0].astype(jnp.int32)
-        rm1 = pairs_ref[0, 1].astype(jnp.int32)
-        rhit, _ = _slab(
-            ox, oy, oz, ix, iy, iz,
-            pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
-            pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7],
-            t_maxk,
-        )
-        any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
-        stack0_ref[0] = rm0
-        stack1_ref[0] = rm1
-        sp0 = jnp.where(any_root, jnp.int32(1), jnp.int32(0))
+    kernel (which runs it once per steered segment with a fresh t_maxk).
 
-        t0 = t_maxk
-        slot0 = jnp.full((rows, 128), -1, jnp.int32)
-        u0 = jnp.zeros((rows, 128), jnp.float32)
-        v0 = jnp.zeros((rows, 128), jnp.float32)
+    chains > 1 co-traverses `chains` independent row-slices of the packet
+    in ONE while_loop: the per-visit vector->scalar sync is a pipeline
+    drain whose cost is shared by independent same-iteration work
+    (tools/bench_dual.py: ~1100 cyc/visit at 1 chain, ~350 at 4), so
+    divergence cost per visit drops ~linearly in the chain count. Each
+    chain owns stack rows [k*STACK_DEPTH, (k+1)*STACK_DEPTH)."""
+    assert rows % chains == 0, (rows, chains)
+    rc = rows // chains
 
-        def cond(c):
-            return c[0] > 0
+    def make_chain(k):
+        """Per-chain ray slices + a visit() running ONE node visit."""
+        s0 = k * rc
+        csl = lambda a: jax.lax.slice(a, (s0, 0), (s0 + rc, 128))
+        oxk, oyk, ozk = csl(ox), csl(oy), csl(oz)
+        dxk, dyk, dzk = csl(dx), csl(dy), csl(dz)
+        ixk, iyk, izk = csl(ix), csl(iy), csl(iz)
+        if chains == 1:
+            negs = (neg_x, neg_y, neg_z)
+        else:
+            negs = (jnp.sum(dxk) < 0.0, jnp.sum(dyk) < 0.0,
+                    jnp.sum(dzk) < 0.0)
+        soff = k * STACK_DEPTH
 
-        def body(c):
-            sp, t_best, slot, u, v = c[:5]
+        def visit(pairs_ref, leaf_ref, t_maxk, c):
+            sp, t_best, slot, u, v = c
             sp = sp - 1
-            m0 = stack0_ref[sp]
-            m1 = stack1_ref[sp]
+            m0 = stack0_ref[soff + sp]
+            m1 = stack1_ref[soff + sp]
             is_leaf = m1 != 0
 
             def leaf_case(args):
@@ -614,41 +623,41 @@ def _build_run_seg(any_hit, rows, wide, packet,
                 leaf_row = leaf_slot // LEAVES_PER_ROW
                 first = m0
 
-                def tri_test(k, st, base):
+                def tri_test(kk, st, base):
                     t_best, slot, u, v = st
-                    b = base + k * 9
+                    b = base + kk * 9
                     sl = lambda j: leaf_ref[leaf_row, b + j]
                     p0x, p0y, p0z = sl(0), sl(1), sl(2)
                     e1x, e1y, e1z = sl(3), sl(4), sl(5)
                     e2x, e2y, e2z = sl(6), sl(7), sl(8)
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
+                    pvx = dyk * e2z - dzk * e2y
+                    pvy = dzk * e2x - dxk * e2z
+                    pvz = dxk * e2y - dyk * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
                     inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-                    sx, sy, sz = ox - p0x, oy - p0y, oz - p0z
+                    sx, sy, sz = oxk - p0x, oyk - p0y, ozk - p0z
                     uu = (sx * pvx + sy * pvy + sz * pvz) * inv_det
                     qx = sy * e1z - sz * e1y
                     qy = sz * e1x - sx * e1z
                     qz = sx * e1y - sy * e1x
-                    vv = (dx * qx + dy * qy + dz * qz) * inv_det
+                    vv = (dxk * qx + dyk * qy + dzk * qz) * inv_det
                     tt = (e2x * qx + e2y * qy + e2z * qz) * inv_det
                     ok = (
-                        (k < count)
+                        (kk < count)
                         & (uu >= 0.0) & (uu <= 1.0)
                         & (vv >= 0.0) & (uu + vv <= 1.0)
                         & (tt > 0.0) & (tt < t_best)
                     )
                     t_best = jnp.where(ok, tt, t_best)
-                    slot = jnp.where(ok, first + k, slot)
+                    slot = jnp.where(ok, first + kk, slot)
                     u = jnp.where(ok, uu, u)
                     v = jnp.where(ok, vv, v)
                     return t_best, slot, u, v
 
                 def run_half(base):
                     def run(st):
-                        for k in range(MAX_LEAF_PACKET):
-                            st = tri_test(k, st, base)
+                        for kk in range(MAX_LEAF_PACKET):
+                            st = tri_test(kk, st, base)
                         return st
 
                     return run
@@ -659,16 +668,16 @@ def _build_run_seg(any_hit, rows, wide, packet,
                     # lane offsets must be static: branch on the row slot
                     t_best, slot, u, v = jax.lax.switch(
                         leaf_slot % LEAVES_PER_ROW,
-                        [run_half(k * MAX_LEAF_PACKET * 9)
-                         for k in range(LEAVES_PER_ROW)],
+                        [run_half(kk * MAX_LEAF_PACKET * 9)
+                         for kk in range(LEAVES_PER_ROW)],
                         (t_best, slot, u, v),
                     )
                 return sp, t_best, slot, u, v
 
             def interior_wide_case(args):
                 # 8-wide node: one pop tests all 8 child boxes; per-child
-                # any-hit counts come from 4 packed reduces (2×16-bit fields)
-                # whose scalar reads pipeline — 3 binary levels per sync.
+                # any-hit counts come from 4 packed reduces (2x16-bit
+                # fields) whose scalar reads pipeline.
                 sp, t_best, slot, u, v = args
                 axis = m0 & 3
                 wnode = m0 >> 2
@@ -678,10 +687,10 @@ def _build_run_seg(any_hit, rows, wide, packet,
                     def inner(_):
                         sl = lambda j: pairs_ref[row, off + j]
                         hs, mets = [], []
-                        for c in range(8):
-                            b = c * 8
+                        for cc in range(8):
+                            b = cc * 8
                             h, _tn = _slab(
-                                ox, oy, oz, ix, iy, iz,
+                                oxk, oyk, ozk, ixk, iyk, izk,
                                 sl(b), sl(b + 1), sl(b + 2),
                                 sl(b + 3), sl(b + 4), sl(b + 5), t_best,
                             )
@@ -689,15 +698,12 @@ def _build_run_seg(any_hit, rows, wide, packet,
                             mets.append(sl(b + 6).astype(jnp.int32))
                             mets.append(sl(b + 7).astype(jnp.int32))
                         if REDUCE == "orroll":
-                            # per-lane 8-bit child mask, OR-combined across
-                            # lanes/sublanes in log steps — ONE vector→scalar
-                            # sync per node visit instead of four
                             m = hs[0]
-                            for c in range(1, 8):
-                                m = m | (hs[c] << c)
+                            for cc in range(1, 8):
+                                m = m | (hs[cc] << cc)
                             for sh in (64, 32, 16, 8, 4, 2, 1):
                                 m = m | pltpu.roll(m, sh, axis=1)
-                            sh = rows // 2
+                            sh = rc // 2
                             while sh >= 1:
                                 m = m | pltpu.roll(m, sh, axis=0)
                                 sh //= 2
@@ -711,30 +717,31 @@ def _build_run_seg(any_hit, rows, wide, packet,
                     return inner
 
                 vals = jax.lax.switch(wnode & 1, [whalf(0), whalf(64)], None)
-                m0s = [vals[2 * c] for c in range(8)]
-                m1s = [vals[2 * c + 1] for c in range(8)]
+                m0s = [vals[2 * cc] for cc in range(8)]
+                m1s = [vals[2 * cc + 1] for cc in range(8)]
                 ns = []
                 if REDUCE == "orroll":
                     bits = vals[16]
-                    ns = [(bits >> c) & 1 for c in range(8)]
+                    ns = [(bits >> cc) & 1 for cc in range(8)]
                 else:
                     for i in range(4):
                         s = vals[16 + i]
                         ns.append(s & 0xFFFF)
                         ns.append(s >> 16)
-                neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
+                neg = jnp.where(axis == 0, negs[0],
+                                jnp.where(axis == 1, negs[1], negs[2]))
                 # children sorted ascending along axis at build time; push
-                # far-to-near: positive dir → push 7..0 (pop 0 first)
-                for k in range(8):
-                    pm0 = jnp.where(neg, m0s[k], m0s[7 - k])
-                    pm1 = jnp.where(neg, m1s[k], m1s[7 - k])
-                    pn = jnp.where(neg, ns[k], ns[7 - k])
+                # far-to-near: positive dir -> push 7..0 (pop 0 first)
+                for kk in range(8):
+                    pm0 = jnp.where(neg, m0s[kk], m0s[7 - kk])
+                    pm1 = jnp.where(neg, m1s[kk], m1s[7 - kk])
+                    pn = jnp.where(neg, ns[kk], ns[7 - kk])
                     do = pn > 0
 
                     @pl.when(do)
                     def _(pm0=pm0, pm1=pm1, sp=sp):
-                        stack0_ref[sp] = pm0
-                        stack1_ref[sp] = pm1
+                        stack0_ref[soff + sp] = pm0
+                        stack1_ref[soff + sp] = pm1
 
                     sp = sp + do.astype(jnp.int32)
                 return sp, t_best, slot, u, v
@@ -749,11 +756,11 @@ def _build_run_seg(any_hit, rows, wide, packet,
                     def inner(_):
                         sl = lambda j: pairs_ref[row, off + j]
                         h0, _tn0 = _slab(
-                            ox, oy, oz, ix, iy, iz,
+                            oxk, oyk, ozk, ixk, iyk, izk,
                             sl(0), sl(1), sl(2), sl(3), sl(4), sl(5), t_best,
                         )
                         h1, _tn1 = _slab(
-                            ox, oy, oz, ix, iy, iz,
+                            oxk, oyk, ozk, ixk, iyk, izk,
                             sl(6), sl(7), sl(8), sl(9), sl(10), sl(11), t_best,
                         )
                         a0 = sl(12).astype(jnp.int32)
@@ -767,11 +774,12 @@ def _build_run_seg(any_hit, rows, wide, packet,
 
                 # 8 pairs per 128-lane row (lane offsets must be static)
                 a0, a1, b0, b1, s = jax.lax.switch(
-                    p & 7, [half(k * 16) for k in range(8)], None
+                    p & 7, [half(kk * 16) for kk in range(8)], None
                 )
                 n0 = s & 0xFFFF
                 n1 = s >> 16
-                neg = jnp.where(axis == 0, neg_x, jnp.where(axis == 1, neg_y, neg_z))
+                neg = jnp.where(axis == 0, negs[0],
+                                jnp.where(axis == 1, negs[1], negs[2]))
                 both = (n0 > 0) & (n1 > 0)
                 far0 = jnp.where(neg, a0, b0)
                 far1 = jnp.where(neg, a1, b1)
@@ -786,15 +794,15 @@ def _build_run_seg(any_hit, rows, wide, packet,
 
                 @pl.when(do_far)
                 def _():
-                    stack0_ref[sp] = far0
-                    stack1_ref[sp] = far1
+                    stack0_ref[soff + sp] = far0
+                    stack1_ref[soff + sp] = far1
 
                 sp = sp + do_far.astype(jnp.int32)
 
                 @pl.when(do_near)
                 def _():
-                    stack0_ref[sp] = near0
-                    stack1_ref[sp] = near1
+                    stack0_ref[soff + sp] = near0
+                    stack1_ref[soff + sp] = near1
 
                 sp = sp + do_near.astype(jnp.int32)
                 return sp, t_best, slot, u, v
@@ -804,31 +812,102 @@ def _build_run_seg(any_hit, rows, wide, packet,
                 interior_wide_case if wide else interior_case,
                 (sp, t_best, slot, u, v),
             )
-            # iteration counter; high 16 bits count leaf visits (debug)
-            it = c[5] + 1 + jnp.where(is_leaf, jnp.int32(1 << 16), 0)
+            return (sp, t_best, slot, u, v), is_leaf
+
+        return csl, visit
+
+    chain_ctx = [make_chain(k) for k in range(chains)]
+
+    def run_seg(pairs_ref, leaf_ref, t_maxk):
+        rm0 = pairs_ref[0, 0].astype(jnp.int32)
+        rm1 = pairs_ref[0, 1].astype(jnp.int32)
+        rb = (pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
+              pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7])
+        sps, ts, slots, us, vs, tmaxs = [], [], [], [], [], []
+        for k, (csl, _visit) in enumerate(chain_ctx):
+            tmk = csl(t_maxk)
+            tmaxs.append(tmk)
+            oxk, oyk, ozk = csl(ox), csl(oy), csl(oz)
+            ixk, iyk, izk = csl(ix), csl(iy), csl(iz)
+            rhit, _ = _slab(oxk, oyk, ozk, ixk, iyk, izk, *rb, tmk)
+            any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
+            stack0_ref[k * STACK_DEPTH] = rm0
+            stack1_ref[k * STACK_DEPTH] = rm1
+            sps.append(jnp.where(any_root, jnp.int32(1), jnp.int32(0)))
+            ts.append(tmk)
+            slots.append(jnp.full((rc, 128), -1, jnp.int32))
+            us.append(jnp.zeros((rc, 128), jnp.float32))
+            vs.append(jnp.zeros((rc, 128), jnp.float32))
+
+        C = chains
+
+        def cond(c):
+            alive = c[0] > 0
+            for k in range(1, C):
+                alive = alive | (c[k] > 0)
+            return alive
+
+        def body(c):
+            sps = list(c[:C])
+            per = list(c[C:-1])  # t/slot/u/v per chain, flattened
+            it = c[-1]
+            n_leaf = jnp.int32(0)
+            for k in range(C):
+                carry_k = (sps[k], per[4 * k], per[4 * k + 1],
+                           per[4 * k + 2], per[4 * k + 3])
+
+                def do_visit(ck, k=k):
+                    (sp, t_b, sl_, u_, v_), is_leaf = chain_ctx[k][1](
+                        pairs_ref, leaf_ref, tmaxs[k], ck)
+                    return sp, t_b, sl_, u_, v_, is_leaf.astype(jnp.int32)
+
+                def idle(ck):
+                    return (*ck, jnp.int32(0))
+
+                sp, t_b, sl_, u_, v_, lf = jax.lax.cond(
+                    sps[k] > 0, do_visit, idle, carry_k)
+                sps[k] = sp
+                per[4 * k] = t_b
+                per[4 * k + 1] = sl_
+                per[4 * k + 2] = u_
+                per[4 * k + 3] = v_
+                n_leaf = n_leaf + lf
+            it = it + 1 + (n_leaf << 16)
             if any_hit:
-                # the cross-lane reduce is expensive — poll for whole-packet
-                # termination only every 16 iterations
-                def check(sp):
-                    all_done = (
-                        jnp.sum(((t_best < t_maxk) | (t_maxk <= 0.0)).astype(jnp.int32))
-                        >= packet
-                    )
-                    return jnp.where(all_done, 0, sp)
+                # the cross-lane reduce is expensive — poll for termination
+                # only every 16 iterations
+                def check(sps_t):
+                    out = []
+                    for k in range(C):
+                        all_done = (
+                            jnp.sum(((per[4 * k] < tmaxs[k])
+                                     | (tmaxs[k] <= 0.0)).astype(jnp.int32))
+                            >= rc * 128
+                        )
+                        out.append(jnp.where(all_done, 0, sps_t[k]))
+                    return tuple(out)
 
-                sp = jax.lax.cond((it & 15) == 0, check, lambda sp: sp, sp)
-            return sp, t_best, slot, u, v, it
+                sps = list(jax.lax.cond(
+                    (it & 15) == 0, check, lambda x: tuple(x), tuple(sps)))
+            return (*sps, *per, it)
 
-        _, t, slot, u, v, iters = jax.lax.while_loop(
-            cond, body, (sp0, t0, slot0, u0, v0, jnp.int32(0))
-        )
+        init = (*sps, *[x for k in range(C)
+                        for x in (ts[k], slots[k], us[k], vs[k])],
+                jnp.int32(0))
+        res = jax.lax.while_loop(cond, body, init)
+        per = res[C:-1]
+        iters = res[-1]
+        t = jnp.concatenate([per[4 * k] for k in range(C)], axis=0)
+        slot = jnp.concatenate([per[4 * k + 1] for k in range(C)], axis=0)
+        u = jnp.concatenate([per[4 * k + 2] for k in range(C)], axis=0)
+        v = jnp.concatenate([per[4 * k + 3] for k in range(C)], axis=0)
         return t, slot, u, v, iters
 
     return run_seg
 
 
 def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
-                 debug_iters: bool = False):
+                 debug_iters: bool = False, chains: int = 1):
     packet = rows * 128
     def kernel(
         pairs_hbm, leaf_hbm,
@@ -867,7 +946,8 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
         run_seg = _build_run_seg(
             any_hit, rows, wide, packet,
             ox, oy, oz, dx, dy, dz, ix, iy, iz,
-            neg_x, neg_y, neg_z, stack0_ref, stack1_ref)
+            neg_x, neg_y, neg_z, stack0_ref, stack1_ref,
+            chains=chains)
         t, slot, u, v, iters = run_seg(pairs_ref, leaf_ref, t_max)
         t_ref[:] = t
         slot_ref[:] = slot
@@ -913,8 +993,10 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
     if debug_iters:
         out_shapes.append(jax.ShapeDtypeStruct(shape8, jnp.int32))
         out_specs.append(ray_spec)
+    chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
     outs = pl.pallas_call(
-        _make_kernel(any_hit, rows, wide=ps.wide, debug_iters=debug_iters),
+        _make_kernel(any_hit, rows, wide=ps.wide, debug_iters=debug_iters,
+                     chains=chains),
         grid=(n_pk,),
         in_specs=[
             hbm(), hbm(),
@@ -925,8 +1007,8 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
         scratch_shapes=[
             pltpu.VMEM(ps.pairs.shape, jnp.float32),
             pltpu.VMEM(ps.leaf_geo.shape, jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
@@ -1201,7 +1283,7 @@ class WaveSet:
 
 
 def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
-                         PR: int, LR: int):
+                         PR: int, LR: int, chains: int = 1):
     packet = rows * 128
 
     def kernel(
@@ -1225,7 +1307,8 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
         run_seg = _build_run_seg(
             any_hit, rows, wide, packet,
             ox, oy, oz, dx, dy, dz, ix, iy, iz,
-            neg_x, neg_y, neg_z, stack0_ref, stack1_ref)
+            neg_x, neg_y, neg_z, stack0_ref, stack1_ref,
+            chains=chains)
 
         pid = pl.program_id(0)
 
@@ -1308,8 +1391,10 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                             memory_space=pltpu.VMEM)
     ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                               memory_space=pltpu.VMEM)
+    chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
     outs = pl.pallas_call(
-        _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR),
+        _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
+                             chains=chains),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
@@ -1323,8 +1408,8 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
             scratch_shapes=[
                 pltpu.VMEM((2, PR, 128), jnp.float32),
                 pltpu.VMEM((2, LR, 128), jnp.float32),
-                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
-                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
         ),

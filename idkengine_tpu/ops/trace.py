@@ -150,6 +150,97 @@ def trace_closest(scene: SceneArrays, o, d, t_max=None, max_steps: int = 1 << 30
     return Hit(t=t, slot=slot, u=u, v=v)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class InstanceSet:
+    """Instanced content for two-level tracing: per-instance local-space
+    BLAS arrays (shared between instances of one model), world->local
+    affines, world boxes, global slot offsets (so hit slots index one
+    combined attribute table) and normal matrices for shading."""
+
+    scenes: tuple  # of SceneArrays, one per instance
+    inv: jnp.ndarray  # (I,3,4) world->local
+    boxes: jnp.ndarray  # (I,2,3) world AABBs
+    slot_off: jnp.ndarray  # (I,) int32 slot offset into the combined table
+    normal_mat: jnp.ndarray  # (I,3,3) inverse-transpose rotations
+
+    def tree_flatten(self):
+        return (self.scenes, self.inv, self.boxes, self.slot_off,
+                self.normal_mat), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, ch):
+        return cls(*ch)
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def trace_closest_two_level(static_scene: SceneArrays, inst_scenes,
+                            inst_inv, inst_boxes, o, d, t_max,
+                            slot_off=None,
+                            max_steps: int = 1 << 30):
+    """Two-level trace: merged static BLAS + per-instance BLASes with
+    world->local ray transforms (the TLAS hot path, ref: TLAS.cs traversal
+    entering BLASes through instance inverse transforms +
+    BVHIntersect.glsl's USE_TLAS loop).
+
+    inst_scenes: tuple of SceneArrays (one per INSTANCE, local space —
+                 instances of the same model share the same arrays)
+    inst_inv:    (I, 3, 4) world->local affine per instance
+    inst_boxes:  (I, 2, 3) world-space instance AABBs (prune masks)
+    Returns (Hit, inst_id) — slot indexes the OWNING arrays (static or the
+    instance's blas; instance id -1 = static hit). Rays keep world-space t
+    (directions stay unnormalized after the affine map)."""
+    r = o.shape[0]
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((r,), t_max)
+    t_max = t_max.astype(jnp.float32)
+    best = trace_closest(static_scene, o, d, t_max, max_steps=max_steps)
+    inst_id = jnp.full((r,), -1, jnp.int32)
+    for i, scene_i in enumerate(inst_scenes):
+        inv = inst_inv[i]  # (3,4)
+        lo_ = o @ inv[:, :3].T + inv[:, 3]
+        ld_ = d @ inv[:, :3].T
+        # world-space box prune (conservative slab test)
+        bmin, bmax = inst_boxes[i, 0], inst_boxes[i, 1]
+        dn = jnp.where(jnp.abs(d) < 1e-20,
+                       jnp.where(d < 0, -1e-20, 1e-20), d)
+        t0 = (bmin[None, :] - o) / dn
+        t1 = (bmax[None, :] - o) / dn
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), axis=-1), 0.0)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        need = (tf >= tn) & (tn < best.t) & (best.t > 0)
+        tm_i = jnp.where(need, best.t, jnp.float32(-1.0))
+        h = trace_closest(scene_i, lo_, ld_, tm_i, max_steps=max_steps)
+        closer = h.slot >= 0  # t < tm_i implied by the hit test
+        off = 0 if slot_off is None else slot_off[i]
+        best = Hit(
+            t=jnp.where(closer, h.t, best.t),
+            slot=jnp.where(closer, h.slot + off, best.slot),
+            u=jnp.where(closer, h.u, best.u),
+            v=jnp.where(closer, h.v, best.v),
+        )
+        inst_id = jnp.where(closer, i, inst_id)
+    return best, inst_id
+
+
+@partial(jax.jit, static_argnames=("max_steps",))
+def trace_any_two_level(static_scene: SceneArrays, inst_scenes, inst_inv,
+                        inst_boxes, o, d, t_max, max_steps: int = 1 << 30):
+    """Occlusion over static + instanced content."""
+    r = o.shape[0]
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((r,), t_max)
+    t_max = t_max.astype(jnp.float32)
+    occ = trace_any(static_scene, o, d, t_max, max_steps=max_steps)
+    for i, scene_i in enumerate(inst_scenes):
+        inv = inst_inv[i]
+        lo_ = o @ inv[:, :3].T + inv[:, 3]
+        ld_ = d @ inv[:, :3].T
+        tm_i = jnp.where(occ, jnp.float32(-1.0), t_max)
+        occ = occ | trace_any(scene_i, lo_, ld_, tm_i, max_steps=max_steps)
+    return occ
+
+
 @partial(jax.jit, static_argnames=("max_steps",))
 def trace_closest_steps(scene: SceneArrays, o, d, t_max=None,
                         max_steps: int = 1 << 30):

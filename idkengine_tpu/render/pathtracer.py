@@ -30,7 +30,9 @@ from ..ops.packet_trace import (
     BOUNCE_ROWS, PACKET, PACKET_ROWS, WaveSet, packet_trace_any,
     packet_trace_any_steered, packet_trace_closest,
     packet_trace_closest_steered, segment_wave_key)
-from ..ops.trace import Hit, SceneArrays, trace_any, trace_closest
+from ..ops.trace import (
+    Hit, SceneArrays, trace_any, trace_any_two_level, trace_closest,
+    trace_closest_two_level)
 from ..utils import rng
 from ..utils.compression import decompress_normal
 from . import sampling, shading
@@ -150,6 +152,8 @@ class PathTracer:
         env_map: np.ndarray | None = None,
         packet_scene=None,
         wave_boxes=None,
+        instances=None,
+        inst_attr_srcs=None,
     ):
         self.scene = scene
         self.packet_scene = packet_scene
@@ -188,7 +192,6 @@ class PathTracer:
         # regardless of table size), so material factors are baked per
         # triangle slot and the whole hit fetch is a single wide gather.
         m = self.mats
-        mat_np = np.asarray(scene.tri_mat).astype(np.int64)
         mat_f = np.concatenate(
             [np.asarray(m["base_color"])[:, :3], np.asarray(m["emissive"]),
              np.asarray(m["metallic"])[:, None],
@@ -197,43 +200,58 @@ class PathTracer:
              np.asarray(m["ior"])[:, None],
              np.asarray(m["absorbance"])], axis=-1,
         ).astype(np.float32)  # (M,13)
-        n_slots = mat_np.shape[0]
-        attr = np.zeros((n_slots, 32), np.float32)
-        attr[:, 0:6] = np.asarray(scene.tri_uv).reshape(-1, 6)
-        attr[:, 6:9] = np.asarray(scene.tri_gn)
-        attr[:, 9:12] = np.asarray(scene.tri_n).astype(np.uint32).view(np.float32)
-        attr[:, 12:25] = mat_f[mat_np]
-        attr[:, 25] = mat_np.astype(np.float32)
-        # per-triangle tangent frame from UV derivatives (flat per tri — the
-        # reference interpolates authored vertex tangents, Surface.glsl:96-118;
-        # UV-derived frames give the same mapping for well-authored UVs) +
-        # alpha factors for the stochastic alpha test
-        from ..utils.compression import compress_normal
-        uv3 = np.asarray(scene.tri_uv).reshape(-1, 3, 2).astype(np.float64)
-        e1np = np.asarray(scene.tri_e1).astype(np.float64)
-        e2np = np.asarray(scene.tri_e2).astype(np.float64)
-        du1 = uv3[:, 1] - uv3[:, 0]
-        du2 = uv3[:, 2] - uv3[:, 0]
-        det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
-        ok = np.abs(det) > 1e-12
-        rdet = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
-        tan = (e1np * du2[:, 1:2] - e2np * du1[:, 1:2]) * rdet
-        bit = (e2np * du1[:, 0:1] - e1np * du2[:, 0:1]) * rdet
-        gn_np = np.asarray(scene.tri_gn).astype(np.float64)
-        # fall back to any frame perpendicular to the face normal
-        fb = np.cross(gn_np, np.where(np.abs(gn_np[:, :1]) < 0.9,
-                                      [[1.0, 0, 0]], [[0, 1.0, 0]]))
-        tl = np.linalg.norm(tan, axis=-1, keepdims=True)
-        tan = np.where((tl > 1e-12) & ok[:, None], tan / np.maximum(tl, 1e-12), fb)
-        bl = np.linalg.norm(bit, axis=-1, keepdims=True)
-        bit = np.where((bl > 1e-12) & ok[:, None],
-                       bit / np.maximum(bl, 1e-12), np.cross(gn_np, fb))
-        attr[:, 26] = compress_normal(tan.astype(np.float32)).view(np.float32)
-        attr[:, 27] = compress_normal(bit.astype(np.float32)).view(np.float32)
-        attr[:, 28] = np.asarray(m["base_color"])[:, 3][mat_np]  # alpha factor
-        attr[:, 29] = np.asarray(materials.get(
-            "alpha_cutoff", np.full(len(mat_f), -1.0)))[mat_np]
-        self._attr = jnp.asarray(attr)
+        cutoffs_np = np.asarray(materials.get(
+            "alpha_cutoff", np.full(len(mat_f), -1.0)))
+        alphas_np = np.asarray(m["base_color"])[:, 3]
+
+        def _pack_attr(tri_uv, tri_gn, tri_n, tri_mat, tri_e1, tri_e2):
+            mat_np = np.asarray(tri_mat).astype(np.int64)
+            n_slots = mat_np.shape[0]
+            attr = np.zeros((n_slots, 32), np.float32)
+            attr[:, 0:6] = np.asarray(tri_uv).reshape(-1, 6)
+            attr[:, 6:9] = np.asarray(tri_gn)
+            attr[:, 9:12] = np.asarray(tri_n).astype(np.uint32).view(np.float32)
+            attr[:, 12:25] = mat_f[mat_np]
+            attr[:, 25] = mat_np.astype(np.float32)
+            # per-triangle tangent frame from UV derivatives (flat per tri —
+            # the reference interpolates authored vertex tangents,
+            # Surface.glsl:96-118) + alpha factors for the alpha test
+            from ..utils.compression import compress_normal
+            uv3 = np.asarray(tri_uv).reshape(-1, 3, 2).astype(np.float64)
+            e1np = np.asarray(tri_e1).astype(np.float64)
+            e2np = np.asarray(tri_e2).astype(np.float64)
+            du1 = uv3[:, 1] - uv3[:, 0]
+            du2 = uv3[:, 2] - uv3[:, 0]
+            det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+            ok = np.abs(det) > 1e-12
+            rdet = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)[:, None]
+            tan = (e1np * du2[:, 1:2] - e2np * du1[:, 1:2]) * rdet
+            bit = (e2np * du1[:, 0:1] - e1np * du2[:, 0:1]) * rdet
+            gn_np = np.asarray(tri_gn).astype(np.float64)
+            fb = np.cross(gn_np, np.where(np.abs(gn_np[:, :1]) < 0.9,
+                                          [[1.0, 0, 0]], [[0, 1.0, 0]]))
+            tl = np.linalg.norm(tan, axis=-1, keepdims=True)
+            tan = np.where((tl > 1e-12) & ok[:, None],
+                           tan / np.maximum(tl, 1e-12), fb)
+            bl = np.linalg.norm(bit, axis=-1, keepdims=True)
+            bit = np.where((bl > 1e-12) & ok[:, None],
+                           bit / np.maximum(bl, 1e-12), np.cross(gn_np, fb))
+            attr[:, 26] = compress_normal(tan.astype(np.float32)).view(np.float32)
+            attr[:, 27] = compress_normal(bit.astype(np.float32)).view(np.float32)
+            attr[:, 28] = alphas_np[mat_np]  # alpha factor
+            attr[:, 29] = cutoffs_np[mat_np]
+            return attr
+
+        parts = [_pack_attr(scene.tri_uv, scene.tri_gn, scene.tri_n,
+                            scene.tri_mat, scene.tri_e1, scene.tri_e2)]
+        # instanced BLAS slots follow the static slots (the slot offsets in
+        # InstanceSet point here); their frames are LOCAL space — shading
+        # rotates by the per-instance normal matrix
+        for src in (inst_attr_srcs or []):
+            parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
+                                    src.mat, src.e1, src.e2))
+        self._attr = jnp.asarray(np.concatenate(parts, axis=0))
+        self.instances = instances
         # static feature gates: keep the hot path untouched for scenes
         # without alpha-tested or normal-mapped materials
         cutoffs = np.asarray(materials.get("alpha_cutoff", [-1.0]))
@@ -258,7 +276,8 @@ class PathTracer:
 
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
-                       packet_scene, wave_boxes, rate_depth=None):
+                       packet_scene, wave_boxes, rate_depth=None,
+                       instances=None):
         # packet_scene travels as an ARGUMENT: closing over the tables bakes
         # them into the HLO as constants (a 2.8M-tri scene is ~150 MB of
         # tables — blows up the compile payload)
@@ -270,6 +289,7 @@ class PathTracer:
         from ..ops import packet_trace as _pt
 
         use_packet = (s.use_packet_tracer and packet_scene is not None
+                      and instances is None
                       and (jax.default_backend() != "cpu"
                            or _pt.FORCE_INTERPRET))
         # tile-swizzled launch order: ray i belongs to pixel swz[i]
@@ -303,17 +323,29 @@ class PathTracer:
                        and isinstance(wave_boxes, WaveSet))
 
         def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
+            """Returns (Hit, inst_id|None)."""
+            if instances is not None:
+                # two-level: static merged BLAS + per-instance BLASes
+                # (ref: TLAS.cs role; Pallas path pending — XLA tracer here)
+                return trace_closest_two_level(
+                    scene, instances.scenes, instances.inv, instances.boxes,
+                    o_, d_, t_max_, slot_off=instances.slot_off,
+                    max_steps=s.max_trace_steps)
             if use_steered:
                 w_ = wave_boxes
                 return packet_trace_closest_steered(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
-                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows), None
             if use_packet:
                 return packet_trace_closest(packet_scene, o_, d_, t_max_,
-                                            rows=rows)
-            return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key)
+                                            rows=rows), None
+            return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key), None
 
         def _occluded(o_, d_, t_max_, rows=PACKET_ROWS):
+            if instances is not None:
+                return trace_any_two_level(
+                    scene, instances.scenes, instances.inv, instances.boxes,
+                    o_, d_, t_max_, max_steps=s.max_trace_steps)
             if use_steered:
                 w_ = wave_boxes
                 return packet_trace_any_steered(
@@ -347,10 +379,11 @@ class PathTracer:
 
         def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows):
             """Closest hit with up to alpha_rounds stochastic re-traces past
-            alpha-discarded surfaces. Absolute-t semantics preserved."""
-            hit_ = _closest(o_, d_, t_max_, sort_key, rows=rows)
+            alpha-discarded surfaces. Absolute-t semantics preserved.
+            Returns (state, Hit, inst_id|None)."""
+            hit_, inst_ = _closest(o_, d_, t_max_, sort_key, rows=rows)
             if not self._has_alpha:
-                return state_, hit_
+                return state_, hit_, inst_
             t_base = jnp.zeros_like(t_max_)
             o_cur = o_
             for _ in range(self.alpha_rounds):
@@ -360,15 +393,17 @@ class PathTracer:
                 o_cur = jnp.where(redo[..., None], o_cur + d_ * adv[..., None], o_cur)
                 t_base = jnp.where(redo, t_base + adv, t_base)
                 tm_rel = jnp.where(redo, t_max_ - t_base, jnp.float32(-1.0))
-                h2 = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                h2, i2 = _closest(o_cur, d_, tm_rel, None, rows=rows)
                 hit_ = Hit(
                     t=jnp.where(redo, h2.t, hit_.t),
                     slot=jnp.where(redo, h2.slot, hit_.slot),
                     u=jnp.where(redo, h2.u, hit_.u),
                     v=jnp.where(redo, h2.v, hit_.v),
                 )
+                if inst_ is not None:
+                    inst_ = jnp.where(redo, i2, inst_)
             return state_, Hit(t=t_base + hit_.t, slot=hit_.slot,
-                               u=hit_.u, v=hit_.v)
+                               u=hit_.u, v=hit_.v), inst_
 
         def _shadow_occluded(state_, o_, d_, t_max_, rows):
             """Occlusion with alpha transparency: transparent surfaces pass
@@ -382,7 +417,7 @@ class PathTracer:
             active = t_max_ > 0.0
             for _ in range(self.alpha_rounds):
                 tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
-                h = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                h, _i = _closest(o_cur, d_, tm_rel, None, rows=rows)
                 hitm = active & (h.slot >= 0)
                 state_, keep = _alpha_keep(h, state_)
                 occ = occ | (hitm & keep)
@@ -486,8 +521,8 @@ class PathTracer:
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = _ray_sort_key(o, d, alive) if bounce > 0 else None
             trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
-            state, hit = _closest_alpha(state, o, d, t_max, sort_key,
-                                        trace_rows)
+            state, hit, hit_inst = _closest_alpha(state, o, d, t_max,
+                                                  sort_key, trace_rows)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -530,6 +565,20 @@ class PathTracer:
             ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
             ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
             gn = af[:, 6:9]
+            if instances is not None:
+                # instanced-BLAS attrs are LOCAL space: rotate the frames by
+                # the instance's normal matrix (ref: the TLAS path's
+                # transform of normals into world space)
+                nm_i = instances.normal_mat[jnp.maximum(hit_inst, 0)]
+                rot = (hit_inst >= 0)[..., None]
+                gn_r = jnp.einsum("rij,rj->ri", nm_i, gn)
+                gn_r = gn_r / jnp.maximum(
+                    jnp.linalg.norm(gn_r, axis=-1, keepdims=True), 1e-12)
+                gn = jnp.where(rot, gn_r, gn)
+                ns_r = jnp.einsum("rij,rj->ri", nm_i, ns)
+                ns_r = ns_r / jnp.maximum(
+                    jnp.linalg.norm(ns_r, axis=-1, keepdims=True), 1e-12)
+                ns = jnp.where(rot, ns_r, ns)
             # face-forward against incoming ray
             flip = jnp.sum(gn * d, axis=-1) > 0.0
             gn = jnp.where(flip[..., None], -gn, gn)
@@ -549,6 +598,13 @@ class PathTracer:
                 tb = af[:, 26:28].view(jnp.uint32)
                 tan = decompress_normal(tb[:, 0], jnp)
                 bit = decompress_normal(tb[:, 1], jnp)
+                if instances is not None:
+                    nm_i2 = instances.normal_mat[jnp.maximum(hit_inst, 0)]
+                    rot2 = (hit_inst >= 0)[..., None]
+                    tan = jnp.where(
+                        rot2, jnp.einsum("rij,rj->ri", nm_i2, tan), tan)
+                    bit = jnp.where(
+                        rot2, jnp.einsum("rij,rj->ri", nm_i2, bit), bit)
                 # re-orthogonalize against the shading normal
                 tan = tan - ns * jnp.sum(tan * ns, axis=-1, keepdims=True)
                 tan = tan / jnp.maximum(
@@ -733,7 +789,7 @@ class PathTracer:
             radiance, alb, nrm, dep, nrays = fn(
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
                 jnp.uint32(self._frame), self.packet_scene, self.wave_boxes,
-                rate_depth,
+                rate_depth, self.instances,
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

@@ -288,6 +288,8 @@ class PathTracerPipeline:
             width, height, pt_settings, env_map=env_map,
             packet_scene=scene_db.packet_scene,
             wave_boxes=scene_db.wave_set(),
+            instances=scene_db.instance_set(),
+            inst_attr_srcs=getattr(scene_db, "_inst_attr_srcs", None),
         )
         self.width, self.height = width, height
 

@@ -73,13 +73,34 @@ class PointShadowMap:
     light_pos: np.ndarray
     maps: jnp.ndarray  # (6, res, res) distance from light
     res: int
+    face_mask: np.ndarray | None = None  # (6,) faces actually traced
+
+
+def face_visibility(light_pos, camera_frustum, far: float = 1e5):
+    """Per-cubemap-face visibility vs the camera frustum via convex SAT
+    (ref: CpuPointShadow.cs per-face frustum-vs-frustum culling :116-185).
+    Returns a (6,) bool array."""
+    from ..collision import Frustum, convex_sat_intersect
+
+    vis = np.ones(6, bool)
+    corner_uv = np.array([[-1, -1], [1, -1], [1, 1], [-1, 1]], np.float32)
+    for f in range(6):
+        face = jnp.full((4,), f, jnp.int32)
+        dirs = np.asarray(_face_dirs(face, jnp.asarray(corner_uv[:, 0]),
+                                     jnp.asarray(corner_uv[:, 1])))
+        fr = Frustum.from_corner_rays(light_pos, dirs, 1e-3, far)
+        vis[f] = convex_sat_intersect(fr, camera_frustum)
+    return vis
 
 
 def build_point_shadow(trace_closest_fn, light_pos, res: int = 256,
-                       t_max: float = 3.4e38) -> PointShadowMap:
+                       t_max: float = 3.4e38,
+                       face_mask=None) -> PointShadowMap:
     """Trace 6*res^2 texel rays from the light center; store hit distance
     (the reference rasterizes the scene into each face instead —
-    CpuPointShadow.cs:116-185; here the build is one coherent packet trace)."""
+    CpuPointShadow.cs:116-185; here the build is one coherent packet trace).
+    face_mask: optional (6,) bool — culled faces trace dead rays (their
+    packets exit at the root test; the map stores 'far')."""
     face = jnp.repeat(jnp.arange(6, dtype=jnp.int32), res * res)
     ij = jnp.arange(res * res, dtype=jnp.int32)
     uu = ((ij % res).astype(jnp.float32) + 0.5) / res * 2.0 - 1.0
@@ -88,12 +109,18 @@ def build_point_shadow(trace_closest_fn, light_pos, res: int = 256,
     v = jnp.tile(vv, 6)
     d = _face_dirs(face, u, v)
     o = jnp.broadcast_to(jnp.asarray(light_pos, jnp.float32), d.shape)
-    t = trace_closest_fn(o, d, jnp.full((d.shape[0],), t_max, jnp.float32))
+    tm = jnp.full((d.shape[0],), t_max, jnp.float32)
+    if face_mask is not None:
+        tm = jnp.where(jnp.asarray(np.asarray(face_mask))[face], tm,
+                       jnp.float32(-1.0))
+    t = trace_closest_fn(o, d, tm)
     dist = jnp.where(t > 0, t, jnp.float32(3.4e38))
     return PointShadowMap(
         light_pos=np.asarray(light_pos, np.float32),
         maps=dist.reshape(6, res, res),
         res=res,
+        face_mask=(np.ones(6, bool) if face_mask is None
+                   else np.asarray(face_mask, bool)),
     )
 
 
@@ -144,12 +171,22 @@ class PointShadowManager:
         self.shadows: dict[int, PointShadowMap] = {}
         self._positions: dict[int, np.ndarray] = {}
 
-    def update(self, light_index: int, light_pos) -> PointShadowMap:
+    def update(self, light_index: int, light_pos,
+               camera_frustum=None) -> PointShadowMap:
         pos = np.asarray(light_pos, np.float32)
         prev = self._positions.get(light_index)
-        if prev is None or not np.allclose(prev, pos):
+        mask = None
+        if camera_frustum is not None:
+            mask = face_visibility(pos, camera_frustum)
+        cached = self.shadows.get(light_index)
+        stale = prev is None or not np.allclose(prev, pos)
+        if not stale and cached is not None and mask is not None:
+            # a face culled at build time is now needed -> rebuild
+            stale = bool(np.any(mask & ~cached.face_mask))
+        if stale:
             if len(self.shadows) >= MAX_POINT_SHADOWS and light_index not in self.shadows:
                 raise ValueError(f"at most {MAX_POINT_SHADOWS} point shadows")
-            self.shadows[light_index] = build_point_shadow(self._trace, pos, self.res)
+            self.shadows[light_index] = build_point_shadow(
+                self._trace, pos, self.res, face_mask=mask)
             self._positions[light_index] = pos
         return self.shadows[light_index]

@@ -161,6 +161,13 @@ class SceneDatabase:
             self._flat, ft, max_leaf=self.build_settings.max_leaf_triangle_count
         )
         self._build_packet_scene()
+        self._inst_attr_srcs = []
+        if getattr(self, "_instanced_models", None):
+            self._inst_attr_srcs = self._build_instanced(
+                int(self._slot_tri.shape[0]))
+            self._refresh_instance_device()
+            log.info("instanced: %d models, %d instances (two-level trace)",
+                     len(self._instanced_models), len(self._instance_list))
         self.meta.n_triangles = int(self._indices.shape[0])
         self.meta.n_nodes = int(self._flat.node_min.shape[0])
         self.meta.sah_cost = self.blas.sah_cost
@@ -426,6 +433,186 @@ class SceneDatabase:
             self._set_wave_boxes(self._wave_tables)
             self._set_wave_stack(self._wave_tables)
         return self.device_scene
+
+    # ------------------------------------------------------------------
+    # Instanced models: own BLAS per model, traced through the two-level
+    # path (ref: TLAS.cs + BVH.cs:162-223) — transform updates never
+    # rebuild or refit geometry.
+    # ------------------------------------------------------------------
+    def add_instanced_model(self, model: Model,
+                            transforms: np.ndarray) -> int:
+        """Register a model drawn at `transforms` ((I,4,4) world matrices)
+        through its OWN BLAS (ref: ModelManager BLAS-per-mesh + TLAS over
+        instances; EXT_mesh_gpu_instancing content belongs here when it
+        must move per frame without rebuilds). Returns the model's id.
+        Call before build()."""
+        if not hasattr(self, "_instanced_models"):
+            self._instanced_models = []
+            self._instance_list = []  # (model_idx, (4,4) transform)
+        mi = len(self._instanced_models)
+        self._instanced_models.append(model)
+        for t in np.asarray(transforms, np.float32).reshape(-1, 4, 4):
+            self._instance_list.append([mi, t])
+        return mi
+
+    def _build_instanced(self, slot_base: int):
+        """Build per-model BLASes + device arrays for instanced content.
+        Returns the per-slot attribute source arrays for the combined
+        attribute table."""
+        self._inst_blas = []
+        self._inst_scene_arrays = []
+        self._inst_slot_off = []
+        extra_attr_srcs = []
+        slot_off = slot_base
+        for model in self._instanced_models:
+            verts, idx, norms, uvs, tri_mat = [], [], [], [], []
+            voff = 0
+            mat_off = self.materials.add_model(model)
+            transforms = model.global_transforms()
+            for ni, node in enumerate(model.nodes):
+                for pi in node.mesh_primitives:
+                    prim = model.primitives[pi]
+                    prim.ensure_normals()
+                    m = transforms[ni]
+                    nrm_m = np.linalg.inv(m[:3, :3]).T
+                    verts.append((prim.positions @ m[:3, :3].T
+                                  + m[:3, 3]).astype(np.float32))
+                    norms.append(mu.normalize(
+                        prim.normals @ nrm_m.T).astype(np.float32))
+                    uvs.append(prim.uvs.astype(np.float32)
+                               if prim.uvs is not None
+                               else np.zeros((prim.positions.shape[0], 2),
+                                             np.float32))
+                    idx.append(prim.indices.astype(np.uint32) + voff)
+                    tri_mat.append(np.full(prim.indices.shape[0],
+                                           prim.material + mat_off, np.int32))
+                    voff += prim.positions.shape[0]
+            v = np.concatenate(verts)
+            ix = np.concatenate(idx)
+            blas = BLAS(v, ix, self.build_settings)
+            flat, slot_perm = thread_bvh(blas.nodes)
+            slot_tri = blas.tri_indices[slot_perm]
+            ft = flatten_triangles(slot_tri, v, ix, np.concatenate(norms),
+                                   np.concatenate(uvs),
+                                   np.concatenate(tri_mat))
+            sa = SceneArrays.from_flat(
+                flat, ft,
+                max_leaf=self.build_settings.max_leaf_triangle_count)
+            self._inst_blas.append(blas)
+            self._inst_scene_arrays.append(sa)
+            self._inst_slot_off.append(slot_off)
+            extra_attr_srcs.append(ft)
+            slot_off += slot_tri.shape[0]
+        return extra_attr_srcs
+
+    def add_model_runtime(self, model: Model,
+                          transform: np.ndarray | None = None) -> int:
+        """Add a model AFTER build() without touching existing geometry
+        (ref: Gui.AddModelDialog → ModelManager.Add + BLAS build of only
+        the new ranges, ModelManager.cs:128-216): the model gets its own
+        BLAS and joins the two-level instance path. Returns its instance
+        id. The caller should refresh PathTracer.instances (engine.render
+        does this on the next accumulation reset)."""
+        if transform is None:
+            transform = np.eye(4, dtype=np.float32)
+        if not hasattr(self, "_instanced_models"):
+            self._instanced_models = []
+            self._instance_list = []
+        if not hasattr(self, "_inst_blas"):
+            self._inst_blas = []
+            self._inst_scene_arrays = []
+            self._inst_slot_off = []
+            self._inst_attr_srcs = []
+        mi = len(self._instanced_models)
+        self._instanced_models.append(model)
+        inst_id = len(self._instance_list)
+        self._instance_list.append([mi, np.asarray(transform, np.float32)])
+        # build ONLY the new model's BLAS (incremental, nothing else moves)
+        slot_base = (self._inst_slot_off[-1]
+                     + self._inst_scene_arrays[-1].tri_p0.shape[0]
+                     if self._inst_slot_off
+                     else int(self._slot_tri.shape[0]))
+        keep = self._instanced_models
+        self._instanced_models = [model]
+        srcs = self._build_instanced_append(slot_base)
+        self._instanced_models = keep
+        self._inst_attr_srcs.extend(srcs)
+        self._refresh_instance_device()
+        log.info("runtime add: model %d as instance %d (BLAS %d nodes)",
+                 mi, inst_id, self._inst_blas[-1].nodes.shape[0])
+        return inst_id
+
+    def _build_instanced_append(self, slot_base: int):
+        """_build_instanced over self._instanced_models, APPENDING to the
+        existing per-model lists."""
+        blas_keep = self._inst_blas
+        sa_keep = self._inst_scene_arrays
+        off_keep = self._inst_slot_off
+        self._inst_blas = []
+        self._inst_scene_arrays = []
+        self._inst_slot_off = []
+        srcs = self._build_instanced(slot_base)
+        self._inst_blas = blas_keep + self._inst_blas
+        self._inst_scene_arrays = sa_keep + self._inst_scene_arrays
+        self._inst_slot_off = off_keep + self._inst_slot_off
+        return srcs
+
+    def set_instance_transform(self, instance: int, transform: np.ndarray):
+        """Move one instance: updates its matrix + world box + the TLAS —
+        geometry untouched (the no-rebuild contract, ref: TLAS.cs role)."""
+        self._instance_list[instance][1] = np.asarray(transform, np.float32)
+        self._refresh_instance_device()
+
+    def _refresh_instance_device(self):
+        import jax.numpy as jnp
+
+        from ..bvh.builder import TLAS
+
+        invs, boxes, nmats = [], [], []
+        for mi, t in self._instance_list:
+            blas = self._inst_blas[mi]
+            m = np.asarray(t, np.float64)
+            inv = np.linalg.inv(m)
+            invs.append(inv[:3, :4])
+            # world box of the local root box's 8 corners
+            lo = blas.nodes["min"][0].astype(np.float64)
+            hi = blas.nodes["max"][0].astype(np.float64)
+            corners = np.array([[x, y, z]
+                                for x in (lo[0], hi[0])
+                                for y in (lo[1], hi[1])
+                                for z in (lo[2], hi[2])])
+            wc = corners @ m[:3, :3].T + m[:3, 3]
+            boxes.append(np.stack([wc.min(0), wc.max(0)]))
+            nmats.append(np.linalg.inv(m[:3, :3]).T)
+        self.instance_inv = jnp.asarray(np.stack(invs), jnp.float32)
+        self.instance_boxes = jnp.asarray(np.stack(boxes), jnp.float32)
+        self.instance_normal_mat = jnp.asarray(np.stack(nmats), jnp.float32)
+        # TLAS over instance world boxes + the static scene root
+        aabbs = [np.concatenate([np.asarray(b[0]), np.asarray(b[1])])
+                 for b in boxes]
+        if self._flat is not None:
+            aabbs.insert(0, np.concatenate(
+                [self._flat.node_min[0], self._flat.node_max[0]]))
+        self.tlas = TLAS(np.stack(aabbs))
+
+    def instance_set(self):
+        """InstanceSet for the PathTracer, or None."""
+        if not getattr(self, "_instance_list", None):
+            return None
+        import jax.numpy as jnp
+
+        from ..ops.trace import InstanceSet
+
+        return InstanceSet(
+            scenes=tuple(self._inst_scene_arrays[mi]
+                         for mi, _ in self._instance_list),
+            inv=self.instance_inv,
+            boxes=self.instance_boxes,
+            slot_off=jnp.asarray(
+                np.asarray([self._inst_slot_off[mi]
+                            for mi, _ in self._instance_list], np.int32)),
+            normal_mat=self.instance_normal_mat,
+        )
 
     # ------------------------------------------------------------------
     def _get_refitter(self):

@@ -492,3 +492,44 @@ def test_debug_views():
     over = draw_box_overlay(base, cam, [100, 0, 100], [456, 300, 459])
     assert (over != base).any()
     assert over.max() <= 1.0
+
+
+def test_point_shadow_face_culling():
+    """Per-face SAT culling: faces invisible to the camera trace dead rays
+    and rebuild only when they become visible (ref: CpuPointShadow.cs)."""
+    import numpy as np
+
+    from idkengine_tpu.collision import Frustum
+    from idkengine_tpu.render.shadowmap import (
+        PointShadowManager, face_visibility)
+    from idkengine_tpu.utils import mathutil as mu
+
+    # camera at origin looking -z: light ahead of the camera
+    view = mu.look_at(np.array([0.0, 0, 0]), np.array([0.0, 0, -1]),
+                      np.array([0.0, 1, 0]))
+    proj = mu.perspective_reverse_z(60.0, 1.0, 0.1)
+    fr = Frustum.from_view_projection(proj @ view, far_depth=1e-3)
+    vis = face_visibility([0.0, 0.0, -50.0], fr)
+    assert vis.any()
+    # light far behind the camera: most faces culled
+    vis_behind = face_visibility([0.0, 0.0, 500.0], fr, far=100.0)
+    assert vis_behind.sum() < 6
+
+    calls = []
+
+    def fake_trace(o, d, tm):
+        calls.append(int((np.asarray(tm) > 0).sum()))
+        return jnp.where(tm > 0, 10.0, -1.0)
+
+    mgr = PointShadowManager(fake_trace, res=8)
+    m1 = mgr.update(0, [0.0, 0.0, -50.0], camera_frustum=fr)
+    assert calls[-1] <= 6 * 64
+    assert m1.face_mask is not None
+    # culled faces store 'far' (no wrong occlusion if ever sampled)
+    if not m1.face_mask.all():
+        f = int(np.nonzero(~m1.face_mask)[0][0])
+        assert float(np.asarray(m1.maps)[f].min()) > 1e30
+    # same position, same visibility: cached (no extra trace)
+    n = len(calls)
+    mgr.update(0, [0.0, 0.0, -50.0], camera_frustum=fr)
+    assert len(calls) == n
