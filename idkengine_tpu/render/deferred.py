@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 
 from ..utils import rng as rng_mod
@@ -49,6 +50,25 @@ def shade_deferred(gbuf, lights, n_lights: int, cam_origin, occlusion_fn,
 
     state = rng_mod.init_state(jnp.arange(r, dtype=jnp.uint32), frame)
     out = gbuf.emissive.reshape(r, 3)
+    # Many-light path: a Python unroll at the reference's 256-light cap
+    # would blow the compile up — scan over the light axis instead (the
+    # per-light body is identical; PCF/shadow-traced modes keep the unroll
+    # because their closures index per-light host state).
+    if (n_lights > 8 and settings.shadow_mode not in ("pcf", "ray_traced")):
+        def light_step(carry, light):
+            l_pos, l_rad, l_r = light
+            to_l = l_pos - pos
+            dist = jnp.linalg.norm(to_l, axis=-1)
+            ldir = to_l / jnp.maximum(dist, 1e-8)[..., None]
+            brdf_cos = shading.ggx_brdf(n, view, ldir, alb, met, rough)
+            att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
+            return carry + brdf_cos * l_rad * att[..., None], None
+
+        out, _ = jax.lax.scan(
+            light_step, out,
+            (lights["pos"][:n_lights], lights["radiance"][:n_lights],
+             lights["radius"][:n_lights]))
+        n_lights = 0  # unrolled loop below skipped
     for li in range(n_lights):
         l_pos = lights["pos"][li]
         l_rad = lights["radiance"][li]

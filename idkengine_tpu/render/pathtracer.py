@@ -528,7 +528,23 @@ class PathTracer:
             # lights before the BLAS)
             light_t = jnp.full((r,), 3.4e38, jnp.float32)
             light_id = jnp.full((r,), -1, jnp.int32)
-            if s.light_spheres and self.n_lights > 0:
+            if s.light_spheres and self.n_lights > 8:
+                # many lights: scan instead of a 256-deep Python unroll
+                # (ref supports 256 lights, LightManager.cs:18)
+                def light_step(carry, lt_in):
+                    l_t, l_id = carry
+                    lp, lr, li_ = lt_in
+                    lh, lt = ray_sphere(o, d, lp, lr)
+                    closer = lh & (lt < l_t)
+                    return (jnp.where(closer, lt, l_t),
+                            jnp.where(closer, li_, l_id)), None
+
+                (light_t, light_id), _ = jax.lax.scan(
+                    light_step, (light_t, light_id),
+                    (lights["pos"][:self.n_lights],
+                     lights["radius"][:self.n_lights],
+                     jnp.arange(self.n_lights, dtype=jnp.int32)))
+            elif s.light_spheres and self.n_lights > 0:
                 for li in range(self.n_lights):
                     lh, lt = ray_sphere(o, d, lights["pos"][li], lights["radius"][li])
                     closer = lh & (lt < light_t)
