@@ -49,36 +49,78 @@ def upsample_bilinear(img, scale: int):
     return (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
 
 
+def upsample_jittered(img, scale: int, jx: float, jy: float):
+    """Jitter-aware upsample: low-res sample (i,j) was rendered at the
+    high-res position ((i+0.5+jy)*scale-0.5, (j+0.5+jx)*scale-0.5); sample
+    the low-res grid at the correspondingly shifted coordinates and return
+    (hr_color, confidence) where confidence peaks at pixels landing ON a
+    jittered sample (the core of FSR2-style temporal upscaling — each frame
+    contributes exact information at different subpixel sites)."""
+    h, w = img.shape[:2]
+    yy = (jnp.arange(h * scale, dtype=jnp.float32) + 0.5) / scale - 0.5 - jy
+    xx = (jnp.arange(w * scale, dtype=jnp.float32) + 0.5) / scale - 0.5 - jx
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, h - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None, None]
+    fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :, None]
+    c = (img[y0][:, x0] * (1 - fy) * (1 - fx)
+         + img[y0][:, x1] * (1 - fy) * fx
+         + img[y1][:, x0] * fy * (1 - fx)
+         + img[y1][:, x1] * fy * fx)
+    # distance (in hr pixels) to the nearest low-res sample site
+    dny = (jnp.minimum(jnp.abs(yy - jnp.round(yy)), 1.0) * scale)[:, None]
+    dnx = (jnp.minimum(jnp.abs(xx - jnp.round(xx)), 1.0) * scale)[None, :]
+    conf = jnp.exp(-6.0 * (dny * dny + dnx * dnx))
+    return c, conf
+
+
 def taau_resolve(low_res_color, history, velocity_hr, jitter,
                  settings: UpscaleSettings = UpscaleSettings()):
     """One temporal-upscale step.
 
     low_res_color: (h, w, 3) current jittered frame;
-    history: (H, W, 3) previous full-res output or None;
+    history: (H, W, 4) previous [rgb, accumulated weight] or None;
     velocity_hr: (H, W, 2) screen-space motion (pixels) at full res;
     jitter: (jx, jy) subpixel offset used for this frame.
-    Returns the new (H, W, 3) output (also the next history)."""
+    Returns the new (H, W, 4) history; the image is history[..., :3].
+
+    FSR2-style reconstruction: each frame's samples land at their TRUE
+    subpixel sites; pixels accumulate a confidence-WEIGHTED average (not an
+    exponential blend — exponential blending can never out-resolve the
+    reconstruction filter, weighted averaging converges to the on-sample
+    values). Motion decays the accumulated weight and enables the
+    neighborhood clamp (the 'lock'/'reactive' role)."""
     s = settings.scale
-    hr = upsample_bilinear(low_res_color, s)
+    jx, jy = jitter
+    hr, conf = upsample_jittered(low_res_color, s, float(jx), float(jy))
     if history is None:
-        return hr
+        return jnp.concatenate([hr, conf[..., None]], axis=-1)
     h, w = hr.shape[:2]
     # reproject history by velocity (Catmull-Rom, ref: TAAResolve history fetch)
     yy, xx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     py = yy - velocity_hr[..., 1]
     px = xx - velocity_hr[..., 0]
-    hist = _sample_catmull_rom(history, py, px)
-    # clamp history to the current frame's local neighborhood
+    hist4 = _sample_catmull_rom(history, py, px)
+    hist = hist4[..., :3]
+    wgt = jnp.maximum(hist4[..., 3], 0.0)
+    speed = jnp.linalg.norm(velocity_hr, axis=-1)
+    # motion decays accumulated confidence and engages the clamp; static
+    # pixels keep their converged weighted average untouched
+    wgt = wgt * jnp.exp(-speed)
+    k = jnp.clip(speed / 2.0, 0.0, 1.0)[..., None]
     lo, hi = _neighborhood_minmax(hr)
-    hist = jnp.clip(hist, lo, hi)
-    # confidence: samples land on a jittered subgrid; pixels nearest the
-    # sample location trust the new frame more
-    out = hist * (1.0 - settings.blend) + hr * settings.blend
+    pad = (1.0 - conf[..., None]) * 0.15
+    hist = hist * (1.0 - k) + jnp.clip(hist, lo - pad, hi + pad) * k
+    w_new = jnp.minimum(wgt + conf, 16.0 / max(settings.blend, 1e-3) * 0.25)
+    out = (hist * wgt[..., None] + hr * conf[..., None]) \
+        / jnp.maximum((wgt + conf)[..., None], 1e-6)
     if settings.sharpen > 0:
         blur = (
             jnp.roll(out, 1, 0) + jnp.roll(out, -1, 0)
             + jnp.roll(out, 1, 1) + jnp.roll(out, -1, 1)
         ) * 0.25
         out = out + (out - blur) * settings.sharpen
-    return out
+    return jnp.concatenate([out, w_new[..., None]], axis=-1)

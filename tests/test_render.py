@@ -309,8 +309,8 @@ class TestNewPasses:
         for f in range(6):
             hist = taau_resolve(low, hist, vel, (0.0, 0.0),
                                 UpscaleSettings(scale=2, sharpen=0.0))
-        assert hist.shape == (32, 32, 3)
-        assert float(jnp.mean(jnp.abs(hist))) > 0
+        assert hist.shape == (32, 32, 4)  # rgb + accumulated weight
+        assert float(jnp.mean(jnp.abs(hist[..., :3]))) > 0
 
     def test_adaptive_classifier_rates(self):
         import jax.numpy as jnp
@@ -608,3 +608,48 @@ def test_deferred_pipeline_all_features():
         img = np.asarray(eng.render())
     assert img.shape == (32, 32, 3)
     assert np.isfinite(img).all() and img.std() > 0
+
+
+def test_taau_converges_above_bilinear():
+    """FSR2-role validation: over a static jittered sequence the temporal
+    upscaler must reconstruct detail a single bilinear upsample cannot
+    (PSNR gain vs ground truth)."""
+    import numpy as np
+
+    from idkengine_tpu.render import upscale as up
+
+    H = W = 64
+    s = 2
+
+    # near-Nyquist signal: aliased at the render resolution, representable
+    # at the output resolution — exactly what temporal upscaling recovers
+    def f(x, y):
+        return np.stack([
+            0.5 + 0.5 * np.sin(x * 2.2) * np.cos(y * 1.7),
+            0.5 + 0.5 * np.sin(x * 0.7) * np.cos(y * 0.45),
+            (x + y) / (H + W)], -1).astype(np.float32)
+
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    truth = f(xx.astype(np.float64), yy.astype(np.float64))
+
+    def render_low(jx, jy):
+        ys = (np.arange(H // s) + 0.5 + jy) * s - 0.5
+        xs = (np.arange(W // s) + 0.5 + jx) * s - 0.5
+        X, Y = np.meshgrid(xs, ys)
+        return jnp.asarray(f(X, Y))
+
+    vel = jnp.zeros((H, W, 2), jnp.float32)
+    hist = None
+    settings = up.UpscaleSettings(scale=s, blend=0.35, sharpen=0.0)
+    for fr in range(16):
+        jx, jy = up.halton_jitter(fr)
+        hist = up.taau_resolve(render_low(jx, jy), hist, vel, (jx, jy),
+                               settings)
+
+    def psnr(a):
+        mse = float(np.mean((np.asarray(a)[..., :3] - truth) ** 2))
+        return -10 * np.log10(max(mse, 1e-12))
+
+    base = psnr(up.upsample_bilinear(render_low(0.0, 0.0), s))
+    conv = psnr(hist)
+    assert conv > base + 3.0, f"TAAU {conv:.1f} dB vs bilinear {base:.1f} dB"
