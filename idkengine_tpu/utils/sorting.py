@@ -23,20 +23,24 @@ def float_to_key(f: np.ndarray) -> np.ndarray:
 
 
 def radix_sort_indices(keys: np.ndarray) -> np.ndarray:
-    """Stable argsort of uint32 keys via 3-pass 11-bit LSD radix sort
-    (ref: Algorithms.cs:45-113). Returns permutation indices."""
+    """Stable argsort of uint32 keys, pass-structured like the reference's
+    3x11-bit LSD radix (ref: Algorithms.cs:45-113) — the TEST ORACLE for
+    the C++ core's radix (bvh/cpp/bvh.cpp radix_sort_pairs), which carries
+    the performance-critical implementation. Numpy has no linear-time
+    stable scatter, so each digit pass delegates to a stable argsort;
+    callers that just want speed should use argsort_floats."""
     keys = np.asarray(keys, dtype=np.uint32)
     idx = np.arange(keys.shape[0], dtype=np.int64)
     for shift in (0, 11, 22):
         digit = (keys[idx] >> shift) & 0x7FF
-        # counting sort on this digit (stable)
-        order = np.argsort(digit, kind="stable")
-        idx = idx[order]
+        idx = idx[np.argsort(digit, kind="stable")]
     return idx
 
 
 def argsort_floats(f: np.ndarray) -> np.ndarray:
-    return radix_sort_indices(float_to_key(f))
+    """Stable float argsort through the order-preserving key mapping (one
+    stable argsort — the fast host path; the C++ core uses its radix)."""
+    return np.argsort(float_to_key(f), kind="stable")
 
 
 def sorted_lower_bound(arr: np.ndarray, value) -> int:
