@@ -20,7 +20,18 @@ import numpy as np
 
 def main():
     t_setup = time.time()
+    # persistent compilation cache: repeat benches (and the driver's run
+    # after a warmup) skip the multi-minute XLA/Mosaic compiles
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.cache/jax_cache"))
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from idkengine_tpu.render import Camera, PathTracer, PathTracerSettings
     from idkengine_tpu.scene.procedural import atrium

@@ -281,6 +281,16 @@ static void radix_sort_pairs(std::vector<uint64_t>& a) {
 // ---------------------------------------------------------------------------
 // SweepSAH builder over fragments with three per-axis sorted index arrays
 // (ref: BLAS.cs GetBuildData:128-157, Build:159-243, TrySplit:730-873).
+//
+// Parity notes vs the reference's post passes:
+//  - RemoveEmptySubtrees (BLAS.cs:245-273): unnecessary here — TrySplit
+//    only accepts splits strictly inside (lo, hi), so no empty child is
+//    ever allocated; the compaction pass would be a no-op.
+//  - OptimizeStackSize (BLAS.cs:875-937, SAH-bounded deep-level collapse):
+//    its role (fewer, fatter leaves tuned for the traversal kernel) lives
+//    in the packet layer's bottom-up leaf collapse
+//    (idkengine_tpu/ops/packet_trace.py _collapse_leaves), which merges
+//    sibling leaves up to the packet kernel's leaf-row capacity.
 // ---------------------------------------------------------------------------
 
 // Per-thread sweep/partition scratch: build_range recursions on different

@@ -118,6 +118,16 @@ def main():
     with jax.profiler.trace("/tmp/jt_wv_plain"):
         _ = float(run_plain(ps, o2s, d2s, tm2s, ldn, stm,
                             jnp.float32(1e25))[0])
+    for name, tdir in (("plain", "/tmp/jt_wv_plain"),):
+        by = device_ms(tdir)
+        tot = {}
+        for n, t in by.items():
+            base = 'closest' if 'closest' in n else 'any'
+            tot[base] = tot.get(base, 0) + t
+        print(f"{name}: " + "  ".join(
+            f"{k}={v:.1f}ms" for k, v in sorted(tot.items())), flush=True)
+    if os.environ.get("IDK_AB_PLAIN_ONLY"):
+        return
     rw = run_wave(ws, smin, smax, o2s, d2s, tm2s, ldn, stm, jnp.float32(0))
     _ = float(rw[0])
     with jax.profiler.trace("/tmp/jt_wv_wave"):
