@@ -34,16 +34,6 @@ log = get_logger(__name__)
 
 
 @dataclass
-class RefitLevels:
-    """Per-depth-level node index lists for the device bottom-up refit.
-
-    Replaces the reference's atomic-lock GPU refit protocol
-    (ref: BLASRefit/compute.glsl:31-37) with data-parallel level sweeps."""
-
-    levels: list[np.ndarray] = field(default_factory=list)  # deepest first
-
-
-@dataclass
 class SceneMeta:
     """Host-side metadata about the flattened scene."""
 
@@ -742,7 +732,7 @@ class SceneDatabase:
     # ------------------------------------------------------------------
     def refit_host(self, new_vertices: np.ndarray) -> SceneArrays:
         """Host refit path: update vertices, refit BLAS, re-upload changed
-        arrays (the device-side refit lives in render/dynamic.py)."""
+        arrays (the per-frame device-side path is update_device / render/dynamic.py)."""
         assert self.blas is not None
         self._verts = np.ascontiguousarray(new_vertices, np.float32)
         self.blas.refit(self._verts)
