@@ -67,17 +67,31 @@ def main():
         sky_strength=1.0,
         use_packet_tracer=bool(int(os.environ.get("IDK_BENCH_PACKET", "1"))),
     )
-    pt = PathTracer(
-        scene, mats, lights, width, height, settings,
-        packet_scene=db.packet_scene,
-        # WaveSet drives the bounce-ray sort key (segment_wave_key) AND
-        # the steered traversal for VMEM-segmented (Bistro-class) scenes
-        wave_boxes=db.wave_set(),
-    )
-
-    # warmup / compile
-    pt.render_frame(cam)
-    _ = float(pt.last_rays_traced)
+    # Traversal-path fallback chain: steered (WaveSet) -> chained segments
+    # (boxes-only sort key) -> XLA trace. A compile/VMEM failure downgrades
+    # instead of killing the bench.
+    variants = [
+        ("steered", dict(packet_scene=db.packet_scene,
+                         wave_boxes=db.wave_set())),
+        ("chained", dict(packet_scene=db.packet_scene,
+                         wave_boxes=(None if db.wave_seg_min is None else
+                                     (db.wave_seg_min, db.wave_seg_max)))),
+        ("xla", dict(packet_scene=None, wave_boxes=None)),
+    ]
+    pt = None
+    path_name = "steered"
+    for path_name, kw in variants:
+        try:
+            pt = PathTracer(scene, mats, lights, width, height, settings, **kw)
+            pt.render_frame(cam)  # warmup / compile
+            _ = float(pt.last_rays_traced)
+            break
+        except Exception as e:
+            print(f"# trace path '{path_name}' failed ({type(e).__name__}: "
+                  f"{str(e)[:200]}); falling back", file=sys.stderr)
+            pt = None
+    if pt is None:
+        raise SystemExit("all trace paths failed")
     print(
         f"# setup+compile {time.time()-t_setup:.1f}s; scene {db.meta.n_triangles} tris, "
         f"SAH {db.meta.sah_cost:.1f}, build {db.meta.build_ms:.0f} ms, device={jax.devices()[0].device_kind}",
@@ -103,7 +117,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"Mrays/s per chip, wavefront PT, {tris//1000}k-tri atrium, {width}x{height} depth={depth}",
+                "metric": f"Mrays/s per chip, wavefront PT ({path_name}), {tris//1000}k-tri atrium, {width}x{height} depth={depth}",
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 150.0, 4),
