@@ -64,7 +64,41 @@ def volumetric_light(gbuf_position, gbuf_depth, cam_origin, lights_pos,
             out = out + trans * contrib * seg[..., None]
         trans = trans * jnp.exp(-(s.absorbance + s.scattering) * seg)[..., None]
 
-    # depth-aware upscale (nearest with edge fallback — the reference's
-    # upscale compares depths; at this scale nearest+repeat suffices)
-    up = jnp.repeat(jnp.repeat(out, ds, axis=0), ds, axis=1)
-    return up[:h, :w]
+    return depth_aware_upsample(out, depth, jnp.minimum(gbuf_depth, 200.0),
+                                ds)[:h, :w]
+
+
+def depth_aware_upsample(low, low_depth, full_depth, ds: int):
+    """Joint-bilateral upsample (ref: VolumetricLight/Upscale/compute.glsl):
+    each full-res pixel blends the 4 surrounding low-res taps with bilinear
+    weights scaled by depth similarity, so god rays don't bleed across
+    silhouettes; falls back to plain bilinear where all taps mismatch."""
+    hh, ww = low.shape[:2]
+    h, w = full_depth.shape[:2]
+    yy = (jnp.arange(h, dtype=jnp.float32)) / ds - 0.0
+    xx = (jnp.arange(w, dtype=jnp.float32)) / ds - 0.0
+    y0 = jnp.clip(jnp.floor(yy).astype(jnp.int32), 0, hh - 1)
+    x0 = jnp.clip(jnp.floor(xx).astype(jnp.int32), 0, ww - 1)
+    y1 = jnp.minimum(y0 + 1, hh - 1)
+    x1 = jnp.minimum(x0 + 1, ww - 1)
+    fy = jnp.clip(yy - y0, 0.0, 1.0)[:, None]
+    fx = jnp.clip(xx - x0, 0.0, 1.0)[None, :]
+    wb = [((1 - fy) * (1 - fx)), ((1 - fy) * fx), (fy * (1 - fx)), (fy * fx)]
+    taps = [(y0, x0), (y0, x1), (y1, x0), (y1, x1)]
+    num = jnp.zeros((h, w, low.shape[2]), low.dtype)
+    den = jnp.zeros((h, w), low.dtype)
+    num_b = jnp.zeros_like(num)
+    den_b = jnp.zeros_like(den)
+    for (ty, tx), bw in zip(taps, wb):
+        d_lr = low_depth[ty][:, tx]
+        sim = jnp.exp(-jnp.abs(d_lr - full_depth)
+                      / jnp.maximum(0.05 * full_depth, 1e-3))
+        wgt = bw * sim
+        c = low[ty][:, tx]
+        num = num + c * wgt[..., None]
+        den = den + wgt
+        num_b = num_b + c * bw[..., None]
+        den_b = den_b + bw
+    bilateral = num / jnp.maximum(den[..., None], 1e-6)
+    bilinear = num_b / jnp.maximum(den_b[..., None], 1e-6)
+    return jnp.where((den > 1e-3)[..., None], bilateral, bilinear)

@@ -684,3 +684,27 @@ def test_viewer_input_and_ppm_headless():
             tkinter.Tk() if not __import__("os").environ.get("DISPLAY") else (_ for _ in ()).throw(tkinter.TclError)
     except Exception:
         pass
+
+
+def test_depth_aware_upsample_respects_silhouettes():
+    """Joint-bilateral volumetric upscale: values must not bleed across a
+    depth discontinuity (ref: VolumetricLight/Upscale depth comparison)."""
+    import numpy as np
+
+    from idkengine_tpu.render.volumetric import depth_aware_upsample
+
+    hh = ww = 8
+    ds = 2
+    # left half near (depth 1, bright fog), right half far (depth 100, dark)
+    low = np.zeros((hh, ww, 3), np.float32)
+    low[:, : ww // 2] = 1.0
+    low_depth = np.full((hh, ww), 100.0, np.float32)
+    low_depth[:, : ww // 2] = 1.0
+    full_depth = np.full((hh * ds, ww * ds), 100.0, np.float32)
+    full_depth[:, : ww * ds // 2] = 1.0
+    up = np.asarray(depth_aware_upsample(
+        jnp.asarray(low), jnp.asarray(low_depth), jnp.asarray(full_depth), ds))
+    assert up.shape == (16, 16, 3)
+    # near side stays bright, far side stays dark right up to the edge
+    assert up[:, :7].min() > 0.9
+    assert up[:, 9:].max() < 0.1
