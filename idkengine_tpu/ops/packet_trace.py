@@ -1461,7 +1461,11 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K):
     order = jnp.argsort(sel_t, axis=1)
     idx = jnp.take_along_axis(idx, order, axis=1)
     top = jnp.take_along_axis(top, order, axis=1)
-    return jnp.where(top > 0, idx.astype(jnp.int32), jnp.int32(-1))
+    steer = jnp.where(top > 0, idx.astype(jnp.int32), jnp.int32(-1))
+    # per-(packet, segment) intersect flags: the fallback sweeps reuse these
+    # instead of re-running S entry sweeps over every ray (measured ~600 ms
+    # of XLA overhead at 2.8M/29 segments)
+    return steer, counts > 0
 
 
 @partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
@@ -1489,25 +1493,25 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
         [d, jnp.ones((pad, 3), d.dtype)])
     tp = t_max if pad == 0 else jnp.concatenate(
         [t_max, jnp.full((pad,), -1.0, jnp.float32)])
-    steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
+    steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
+                                     k_steer)
     best = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, False, itp, rows, wide=ps_segs[0].wide)
     # fallback: segments a packet intersects beyond its K steered slots —
-    # each per-segment sweep is guarded by a runtime lax.cond and skipped
-    # unless some ray still needs it
-    steer_of_ray = jnp.repeat(steer, packet, axis=0)[:R]  # (R, K)
+    # packet-granular masks from the steering build (conservative: no
+    # t_best pruning host-side; the kernel's root test + carried t_max
+    # prune on device), each sweep cond-skipped unless some packet needs it
     for s in range(S):
-        ent = _segment_entry_t(o, d, best.t, seg_min[s], seg_max[s])
-        steered = jnp.any(steer_of_ray == s, axis=1)
-        need = (ent < jnp.inf) & ~steered
+        pk_need = pk_hits[:, s] & ~jnp.any(steer == s, axis=1)  # (n_pk,)
 
-        def sweep(b, s=s, need=need):
+        def sweep(b, s=s, pk_need=pk_need):
+            need = jnp.repeat(pk_need, packet)[:R]
             tm_s = jnp.where(need, b.t, jnp.float32(-1.0))
             h = _pallas_trace(ps_segs[s], o, d, tm_s, False, itp, rows)
             return _merge_hits(b, h)
 
-        best = jax.lax.cond(jnp.any(need), sweep, lambda b: b, best)
+        best = jax.lax.cond(jnp.any(pk_need), sweep, lambda b: b, best)
     return best
 
 
@@ -1534,21 +1538,20 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
         [d, jnp.ones((pad, 3), d.dtype)])
     tp = t_max if pad == 0 else jnp.concatenate(
         [t_max, jnp.full((pad,), -1.0, jnp.float32)])
-    steer = _build_steering(op, dp, tp, seg_min, seg_max, packet, k_steer)
+    steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
+                                     k_steer)
     h = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, True, itp, rows, wide=ps_segs[0].wide)
     occ = h.slot >= 0
-    steer_of_ray = jnp.repeat(steer, packet, axis=0)[:R]
     for s in range(S):
-        ent = _segment_entry_t(o, d, t_max, seg_min[s], seg_max[s])
-        steered = jnp.any(steer_of_ray == s, axis=1)
-        need = (ent < jnp.inf) & ~steered & ~occ
+        pk_need = pk_hits[:, s] & ~jnp.any(steer == s, axis=1)
 
-        def sweep(oc, s=s, need=need):
-            tm_s = jnp.where(need & ~oc, t_max, jnp.float32(-1.0))
+        def sweep(oc, s=s, pk_need=pk_need):
+            need = jnp.repeat(pk_need, packet)[:R] & ~oc
+            tm_s = jnp.where(need, t_max, jnp.float32(-1.0))
             hs = _pallas_trace(ps_segs[s], o, d, tm_s, True, itp, rows)
             return oc | (hs.slot >= 0)
 
-        occ = jax.lax.cond(jnp.any(need), sweep, lambda oc: oc, occ)
+        occ = jax.lax.cond(jnp.any(pk_need), sweep, lambda oc: oc, occ)
     return occ
