@@ -117,7 +117,14 @@ class Engine:
                 collision_mod.light_collisions(self.db, self.db.lights, sub)
         self.animation_time += dt
         if any(m.animations for m in self.db.models):
-            self.db.update(self.animation_time)
+            # device-side refit by default (render/dynamic.py — no geometry
+            # readback); IDK_HOST_REFIT=1 forces the C++ host path
+            import os as _os
+
+            if _os.environ.get("IDK_HOST_REFIT"):
+                self.db.update(self.animation_time)
+            else:
+                self.db.update_device(self.animation_time)
             self._accum_dirty = True
 
         # PT accumulation reset on camera movement (ref: Application.cs:209-213)

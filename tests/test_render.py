@@ -708,3 +708,45 @@ def test_depth_aware_upsample_respects_silhouettes():
     # near side stays bright, far side stays dark right up to the edge
     assert up[:, :7].min() > 0.9
     assert up[:, 9:].max() < 0.1
+
+
+def test_engine_animated_uses_device_refit():
+    """Engine.update on an animated scene routes through update_device and
+    renders consistently with the host-refit path."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from test_dynamic import _animated_model
+
+    from idkengine_tpu.bvh.builder import BuildSettings
+    from idkengine_tpu.engine import Engine, EngineSettings
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    def build(host):
+        import os
+
+        db = SceneDatabase(BuildSettings(max_leaf_triangle_count=12,
+                                         traversal_cost=4.0))
+        db.add_model(_animated_model(), hoist=False)
+        db.build()
+        db.lights.add([278, 480, 279.5], [6, 6, 6], radius=45.0)
+        eng = Engine(db, EngineSettings(width=24, height=24))
+        eng.settings.pt = __import__("dataclasses").replace(
+            eng.settings.pt, use_packet_tracer=False, ray_depth=2)
+        eng.camera.position = np.array([278, 273, -800], np.float32)
+        eng.camera.yaw = 90.0
+        if host:
+            os.environ["IDK_HOST_REFIT"] = "1"
+        else:
+            os.environ.pop("IDK_HOST_REFIT", None)
+        eng.update(0.25)
+        img = np.asarray(eng.render())
+        os.environ.pop("IDK_HOST_REFIT", None)
+        return img
+
+    img_dev = build(host=False)
+    img_host = build(host=True)
+    rmse = float(np.sqrt(np.mean((img_dev - img_host) ** 2)))
+    assert rmse < 2e-2, f"device vs host refit render diverged: {rmse}"
