@@ -44,11 +44,13 @@ def shard_render(mesh: Mesh, render_sample_fn, axis: str = "rays"):
     repl = NamedSharding(mesh, P())
     by_rays = NamedSharding(mesh, P(axis))
 
-    # 8 args: scene, mats, lights, env_map, cam_params, frame, packet_scene,
-    # wave_boxes (PathTracer._render_sample signature)
+    # 12 args: scene, mats, lights, env_map, cam_params, frame,
+    # packet_scene, wave_boxes, rate_depth, instances, attr, swz_tables
+    # (PathTracer._render_sample signature — attr/swz travel as args so
+    # they don't bake into the HLO as constants)
     return jax.jit(
         render_sample_fn,
-        in_shardings=(repl,) * 8,
+        in_shardings=(repl,) * 12,
         out_shardings=(by_rays, by_rays, by_rays, by_rays, repl),
     )
 
@@ -82,7 +84,9 @@ class ShardedPathTracer:
         radiance, alb, nrm, dep, nrays = self._fn(
             self._scene_r, self._mats_r, self._lights_r, self._env_r,
             cam_params, jnp.uint32(self.pt._frame),
-            self._packet_r, self._wave_boxes_r,
+            self._packet_r, self._wave_boxes_r, None, self.pt.instances,
+            replicate(self.mesh, self.pt._attr),
+            replicate(self.mesh, (self.pt._swz, self.pt._inv_swz)),
         )
         n = self.pt.accumulated_samples
         self.pt.accum = (self.pt.accum * n + radiance) / (n + 1)

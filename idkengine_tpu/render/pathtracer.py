@@ -277,13 +277,22 @@ class PathTracer:
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
                        packet_scene, wave_boxes, rate_depth=None,
-                       instances=None):
+                       instances=None, attr=None, swz_tables=None):
+        # attr/swz_tables travel as ARGUMENTS for the same reason as
+        # packet_scene: closed-over device arrays are baked into the HLO as
+        # constants — the 2.8M-tri attribute table alone is ~360 MB and
+        # exceeds the remote-compile payload limit (HTTP 413).
         # packet_scene travels as an ARGUMENT: closing over the tables bakes
         # them into the HLO as constants (a 2.8M-tri scene is ~150 MB of
         # tables — blows up the compile payload)
         s = self.settings
         w, h = self.width, self.height
         r = w * h
+        attr = self._attr if attr is None else attr
+        if swz_tables is None:
+            swz_full, inv_swz_full = self._swz, self._inv_swz
+        else:
+            swz_full, inv_swz_full = swz_tables
         # Mosaic kernels only compile for TPU; on CPU fall back to the XLA
         # threaded trace (tests opt into interpret mode explicitly)
         from ..ops import packet_trace as _pt
@@ -293,7 +302,7 @@ class PathTracer:
                       and (jax.default_backend() != "cpu"
                            or _pt.FORCE_INTERPRET))
         # tile-swizzled launch order: ray i belongs to pixel swz[i]
-        swz = self._swz if use_packet else jnp.arange(r, dtype=jnp.int32)
+        swz = swz_full if use_packet else jnp.arange(r, dtype=jnp.int32)
         pix = swz.astype(jnp.uint32)
         state = rng.init_state(pix, frame)
 
@@ -361,7 +370,7 @@ class PathTracer:
             141-146): MASK materials use their cutoff deterministically,
             BLEND keeps with probability alpha, OPAQUE always keeps."""
             slot_ = jnp.maximum(hit_.slot, 0)
-            af_ = self._attr[slot_]
+            af_ = attr[slot_]
             wb_ = 1.0 - hit_.u - hit_.v
             uv_ = (af_[:, 0:2] * wb_[..., None]
                    + af_[:, 2:4] * hit_.u[..., None]
@@ -573,7 +582,7 @@ class PathTracer:
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            af = self._attr[slot]  # (R,32) packed slot attributes
+            af = attr[slot]  # (R,32) packed slot attributes
             an = af[:, 9:12].view(jnp.uint32)
             n0 = decompress_normal(an[:, 0], jnp)
             n1 = decompress_normal(an[:, 1], jnp)
@@ -776,7 +785,7 @@ class PathTracer:
         # at bounce 0, before any sort permute, so their inverse is the
         # static swizzle inverse.
         sorted_state = s.do_ray_sorting and use_packet and s.ray_depth > 1
-        inv_swz = self._inv_swz if use_packet else jnp.arange(r, dtype=jnp.int32)
+        inv_swz = inv_swz_full if use_packet else jnp.arange(r, dtype=jnp.int32)
         if sorted_state:
             # one more payload sort restores pixel order
             _, r0, r1, r2_ = jax.lax.sort(
@@ -805,7 +814,8 @@ class PathTracer:
             radiance, alb, nrm, dep, nrays = fn(
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
                 jnp.uint32(self._frame), self.packet_scene, self.wave_boxes,
-                rate_depth, self.instances,
+                rate_depth, self.instances, self._attr,
+                (self._swz, self._inv_swz),
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

@@ -51,7 +51,9 @@ def test_sharded_render_matches_single_device():
     fn = shard_render(mesh, pt._render_sample)
     args = [replicate(mesh, a) for a in
             (pt.scene, pt.mats, pt.lights)] + [None,
-            replicate(mesh, cam_params), frame, None, None]
+            replicate(mesh, cam_params), frame, None, None, None, None,
+            replicate(mesh, pt._attr),
+            replicate(mesh, (pt._swz, pt._inv_swz))]
     out, *_ = fn(*args)
     assert out.sharding.is_equivalent_to(
         jax.sharding.NamedSharding(
