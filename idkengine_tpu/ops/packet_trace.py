@@ -71,6 +71,11 @@ REDUCE = __import__('os').environ.get('IDK_REDUCE', 'sum4')
 # ~350 cyc/visit). Each chain traverses its own rows-slice of the packet
 # with its own stack; chains==1 reproduces the single-packet kernel.
 CHAINS = int(__import__('os').environ.get('IDK_COCHAINS', '1'))
+# Any-hit co-chains default to 2: the any-hit loop's vector work is light
+# (early exit, no t refinement), so sharing the per-visit sync drain wins
+# (bench_waves 110k: NEE any 47.9 -> 42.2 ms); the closest kernel is
+# VPU-bound on leaf tests and measures flat-to-worse with chains.
+CHAINS_ANY = int(__import__('os').environ.get('IDK_COCHAINS_ANY', '2'))
 
 
 # ---------------------------------------------------------------------------
@@ -993,7 +998,8 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
     if debug_iters:
         out_shapes.append(jax.ShapeDtypeStruct(shape8, jnp.int32))
         out_specs.append(ray_spec)
-    chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
+    want = CHAINS_ANY if any_hit else CHAINS
+    chains = want if rows % max(want, 1) == 0 else 1
     outs = pl.pallas_call(
         _make_kernel(any_hit, rows, wide=ps.wide, debug_iters=debug_iters,
                      chains=chains),
@@ -1391,7 +1397,8 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                             memory_space=pltpu.VMEM)
     ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                               memory_space=pltpu.VMEM)
-    chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
+    want = CHAINS_ANY if any_hit else CHAINS
+    chains = want if rows % max(want, 1) == 0 else 1
     outs = pl.pallas_call(
         _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
                              chains=chains),

@@ -8,16 +8,24 @@ ConeTracing/ConeTracer.cs + include/TraceCone.glsl):
     Voxelizer.cs:109-208) becomes SCATTER VOXELIZATION: every triangle is
     point-sampled proportionally to its area, each sample's direct radiance
     is computed (shadowed light), and samples scatter into the 3D grid with
-    segment-max (the flicker-free equivalent of the reference's atomicMax
+    per-voxel max (the flicker-free equivalent of the reference's atomicMax
     path, Voxelize/fragment.glsl:68-78).
   - The compute mip chain (Voxelizer.cs:210-228) is a reduce_window chain.
   - Cone tracing (TraceCone.glsl:5-39) is the same front-to-back trilinear
     mip-march, vectorized over all query pixels.
+
+Layout notes (TPU): all per-sample math is SoA over 1-D arrays — (N,3)
+channel-minor arrays tile as (sublane, lane)=(N,3→128) on TPU, a 42x
+memory blowup when materialized at fusion boundaries (measured: the
+AoS voxelizer spent ~470 of 633 ms in layout-padded fusions). The grid
+is channel-FIRST (4, R^3) so the minor dims stay dense, mips are one
+reduce_window per level, and cone tracing samples a single flattened
+mip atlas with computed per-level offsets (dynamic LOD = index math,
+not a select over every level).
 """
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -47,8 +55,12 @@ class VoxelGrid:
         self.settings = settings
         self.grid_min = jnp.asarray(grid_min, jnp.float32)
         self.grid_max = jnp.asarray(grid_max, jnp.float32)
-        self.radiance = None  # (R,R,R,4) f32 — rgb + opacity
+        self.radiance = None  # (4,R,R,R) f32 — rgb + opacity, channel-first
         self.mips: list = []
+        self._atlas = None  # (4, sum R_l^3) flattened mip chain
+        # static per-level tables for the atlas (filled by _build_mips)
+        self._res_levels = None
+        self._offsets = None
 
     # ------------------------------------------------------------------
     def voxelize(self, scene, mats, lights, n_lights: int, frame=0,
@@ -57,6 +69,7 @@ class VoxelGrid:
 
         scene: SceneArrays (tri SoA); mats/lights: device dicts;
         occlusion_fn(o, d, t_max) -> bool occluded (for shadowed injection).
+        Returns the channel-first (4,R,R,R) grid.
         """
         s = self.settings
         res = s.resolution
@@ -70,115 +83,175 @@ class VoxelGrid:
         want = jnp.ceil(area / jnp.maximum(vox_area, 1e-12) * s.samples_per_tri_unit)
         want = jnp.clip(want, 1.0, 64.0)
         total = jnp.cumsum(want)
-        budget = min(s.max_samples, int(jnp.sum(want)))
+        try:
+            budget = min(s.max_samples, int(jnp.sum(want)))
+        except jax.errors.ConcretizationTypeError:
+            # under jit the sample count must be static: use the full budget
+            # (searchsorted assignment distributes it identically)
+            budget = s.max_samples
 
-        # deterministic sample → triangle assignment via searchsorted
-        u = (jnp.arange(budget, dtype=jnp.float32) + 0.5) * (total[-1] / budget)
-        tri = jnp.searchsorted(total, u).astype(jnp.int32)
-        tri = jnp.clip(tri, 0, t - 1)
+        # deterministic sample → triangle assignment. NOT searchsorted — on
+        # TPU searchsorted lowers to a serial while loop (measured 127 ms
+        # for 1M queries). Samples are uniformly spaced in cumulative-area
+        # space, so tri(u) is monotone: scatter each triangle's first sample
+        # slot, then forward-fill with a max-scan.
+        step = total[-1] / budget
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), total[:-1]])
+        first = jnp.ceil(prev / step - 0.5).astype(jnp.int32)
+        first = jnp.clip(first, 0, budget - 1)
+        marks = jnp.zeros((budget,), jnp.int32).at[first].max(
+            jnp.arange(t, dtype=jnp.int32))
+        tri = jax.lax.associative_scan(jnp.maximum, marks)
 
         state = rng_mod.init_state(jnp.arange(budget, dtype=jnp.uint32), frame)
         state, uv = rng_mod.uniform2(state)
         su = jnp.sqrt(uv[..., 0])
         b1 = 1.0 - su
         b2 = uv[..., 1] * su
-        pos = (
-            scene.tri_p0[tri]
-            + scene.tri_e1[tri] * b1[..., None]
-            + scene.tri_e2[tri] * b2[..., None]
-        )
-        nrm = scene.tri_gn[tri]
-        mat_id = scene.tri_mat[tri]
-        albedo = mats["base_color"][mat_id][..., :3]
-        emissive = mats["emissive"][mat_id]
+        # ONE packed row-gather for all per-sample attributes: separate
+        # per-component gathers cost ~26 ns/index EACH on TPU irrespective
+        # of table size (measured ~250 ms across 14 gathers); a single
+        # (T,18) row gather pays that latency once.
+        mat_tbl = jnp.concatenate(
+            [mats["base_color"][:, :3], mats["emissive"][:, :3]], axis=1)
+        packed = jnp.concatenate(
+            [scene.tri_p0, scene.tri_e1, scene.tri_e2, scene.tri_gn,
+             mat_tbl[scene.tri_mat]], axis=1)
+        g = packed[tri]
+        px = g[:, 0] + g[:, 3] * b1 + g[:, 6] * b2
+        py = g[:, 1] + g[:, 4] * b1 + g[:, 7] * b2
+        pz = g[:, 2] + g[:, 5] * b1 + g[:, 8] * b2
+        nx, ny, nz = g[:, 9], g[:, 10], g[:, 11]
+        ar, ag, ab = g[:, 12], g[:, 13], g[:, 14]
 
         # direct lighting at each sample (shadowed, all lights)
-        radiance = emissive
+        rr, rg, rb = g[:, 15], g[:, 16], g[:, 17]
         for li in range(n_lights):
             l_pos = lights["pos"][li]
             l_rad = lights["radiance"][li]
             l_r = lights["radius"][li]
-            to_l = l_pos - pos
-            dist = jnp.linalg.norm(to_l, axis=-1)
-            ldir = to_l / jnp.maximum(dist, 1e-8)[..., None]
-            ndl = jnp.maximum(jnp.sum(nrm * ldir, axis=-1), 0.0)
+            tlx, tly, tlz = l_pos[0] - px, l_pos[1] - py, l_pos[2] - pz
+            dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+            inv = 1.0 / jnp.maximum(dist, 1e-8)
+            ldx, ldy, ldz = tlx * inv, tly * inv, tlz * inv
+            ndl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
             att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
             vis = 1.0
             if occlusion_fn is not None:
-                occ = occlusion_fn(pos + nrm * 1e-3, ldir, dist - 1e-2)
+                o = jnp.stack([px + nx * 1e-3, py + ny * 1e-3, pz + nz * 1e-3], -1)
+                d = jnp.stack([ldx, ldy, ldz], -1)
+                occ = occlusion_fn(o, d, dist - 1e-2)
                 vis = 1.0 - occ.astype(jnp.float32)
-            radiance = radiance + albedo / jnp.pi * l_rad * (ndl * att * vis)[..., None]
+            w = ndl * att * vis / jnp.pi
+            rr = rr + ar * l_rad[0] * w
+            rg = rg + ag * l_rad[1] * w
+            rb = rb + ab * l_rad[2] * w
 
-        # scatter with per-voxel MAX (flicker-free like the atomicMax path):
-        # sort by cell then segment_max
-        cell = jnp.clip(
-            ((pos - self.grid_min) / (self.grid_max - self.grid_min) * res),
-            0, res - 1e-3,
-        ).astype(jnp.int32)
-        cell_id = (cell[:, 0] * res + cell[:, 1]) * res + cell[:, 2]
-        grid = jnp.zeros((res * res * res, 4), jnp.float32)
-        vals = jnp.concatenate([radiance, jnp.ones((budget, 1))], axis=-1)
-        grid = grid.at[cell_id].max(vals)
-        self.radiance = grid.reshape(res, res, res, 4)
+        # scatter with per-voxel MAX (flicker-free like the atomicMax path).
+        # Channel-first (4, R^3): each scattered update is a dense (4,1)
+        # column — one tile touch, no lane padding on operand or updates.
+        ext = self.grid_max - self.grid_min
+        cx = jnp.clip((px - self.grid_min[0]) / ext[0] * res, 0, res - 1e-3).astype(jnp.int32)
+        cy = jnp.clip((py - self.grid_min[1]) / ext[1] * res, 0, res - 1e-3).astype(jnp.int32)
+        cz = jnp.clip((pz - self.grid_min[2]) / ext[2] * res, 0, res - 1e-3).astype(jnp.int32)
+        cell_id = (cx * res + cy) * res + cz
+        grid = jnp.zeros((4, res * res * res), jnp.float32)
+        vals = jnp.stack([rr, rg, rb, jnp.ones((budget,), jnp.float32)], 0)
+        grid = grid.at[:, cell_id].max(vals)
+        self.radiance = grid.reshape(4, res, res, res)
         self._build_mips()
         return self.radiance
 
     # ------------------------------------------------------------------
     def _build_mips(self):
-        """Average-downsample mip chain (ref: Voxelizer.cs mip compute)."""
+        """Average-downsample mip chain (ref: Voxelizer.cs mip compute) —
+        one reduce_window per level on the channel-first grid."""
         self.mips = [self.radiance]
         m = self.radiance
-        while m.shape[0] > 4:
-            m = (
-                m[0::2, 0::2, 0::2] + m[1::2, 0::2, 0::2]
-                + m[0::2, 1::2, 0::2] + m[0::2, 0::2, 1::2]
-                + m[1::2, 1::2, 0::2] + m[1::2, 0::2, 1::2]
-                + m[0::2, 1::2, 1::2] + m[1::2, 1::2, 1::2]
+        while m.shape[1] > 4:
+            m = jax.lax.reduce_window(
+                m, 0.0, jax.lax.add,
+                window_dimensions=(1, 2, 2, 2), window_strides=(1, 2, 2, 2),
+                padding="VALID",
             ) * 0.125
             self.mips.append(m)
+        # flattened atlas for dynamic-LOD sampling: (4, sum R_l^3)
+        self._res_levels = jnp.asarray([m.shape[1] for m in self.mips], jnp.int32)
+        sizes = [int(m.shape[1]) ** 3 for m in self.mips]
+        self._offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes[:-1])]),
+                                    jnp.int32)
+        self._atlas = jnp.concatenate(
+            [m.reshape(4, -1) for m in self.mips], axis=1)
 
     # ------------------------------------------------------------------
-    def _sample_trilinear(self, mip_idx: int, p01):
-        """Trilinear sample of mip level (static idx). p01: (...,3) in [0,1]."""
-        m = self.mips[mip_idx]
-        res = m.shape[0]
-        x = jnp.clip(p01 * res - 0.5, 0.0, res - 1.001)
-        x0 = jnp.floor(x).astype(jnp.int32)
-        f = x - x0
-        x1 = jnp.minimum(x0 + 1, res - 1)
+    def _sample_level(self, lvl, px, py, pz):
+        """Trilinear sample at per-sample dynamic mip level `lvl` (int (N,)).
 
-        def g(ix, iy, iz):
-            return m[ix, iy, iz]
+        p in [0,1]^3 as 1-D component arrays. Returns (r,g,b,a) 1-D arrays.
+        One atlas gather per corner — dynamic LOD is index arithmetic, not
+        a select over every static level.
+        """
+        resl = jnp.take(self._res_levels, lvl).astype(jnp.float32)
+        off = jnp.take(self._offsets, lvl)
+        resi = jnp.take(self._res_levels, lvl)
 
-        c000 = g(x0[..., 0], x0[..., 1], x0[..., 2])
-        c100 = g(x1[..., 0], x0[..., 1], x0[..., 2])
-        c010 = g(x0[..., 0], x1[..., 1], x0[..., 2])
-        c001 = g(x0[..., 0], x0[..., 1], x1[..., 2])
-        c110 = g(x1[..., 0], x1[..., 1], x0[..., 2])
-        c101 = g(x1[..., 0], x0[..., 1], x1[..., 2])
-        c011 = g(x0[..., 0], x1[..., 1], x1[..., 2])
-        c111 = g(x1[..., 0], x1[..., 1], x1[..., 2])
-        fx, fy, fz = f[..., 0:1], f[..., 1:2], f[..., 2:3]
-        c00 = c000 * (1 - fx) + c100 * fx
-        c01 = c001 * (1 - fx) + c101 * fx
-        c10 = c010 * (1 - fx) + c110 * fx
-        c11 = c011 * (1 - fx) + c111 * fx
-        c0 = c00 * (1 - fy) + c10 * fy
-        c1 = c01 * (1 - fy) + c11 * fy
-        return c0 * (1 - fz) + c1 * fz
+        def axis(p):
+            x = jnp.clip(p * resl - 0.5, 0.0, resl - 1.001)
+            x0 = jnp.floor(x)
+            return x0.astype(jnp.int32), x - x0
+
+        x0, fx = axis(px)
+        y0, fy = axis(py)
+        z0, fz = axis(pz)
+        x1 = jnp.minimum(x0 + 1, resi - 1)
+        y1 = jnp.minimum(y0 + 1, resi - 1)
+        z1 = jnp.minimum(z0 + 1, resi - 1)
+
+        at = self._atlas
+
+        def corner(ix, iy, iz):
+            idx = off + (ix * resi + iy) * resi + iz
+            return at[0, idx], at[1, idx], at[2, idx], at[3, idx]
+
+        out = []
+        c000 = corner(x0, y0, z0)
+        c100 = corner(x1, y0, z0)
+        c010 = corner(x0, y1, z0)
+        c110 = corner(x1, y1, z0)
+        c001 = corner(x0, y0, z1)
+        c101 = corner(x1, y0, z1)
+        c011 = corner(x0, y1, z1)
+        c111 = corner(x1, y1, z1)
+        for ch in range(4):
+            c00 = c000[ch] * (1 - fx) + c100[ch] * fx
+            c10 = c010[ch] * (1 - fx) + c110[ch] * fx
+            c01 = c001[ch] * (1 - fx) + c101[ch] * fx
+            c11 = c011[ch] * (1 - fx) + c111[ch] * fx
+            c0 = c00 * (1 - fy) + c10 * fy
+            c1 = c01 * (1 - fy) + c11 * fy
+            out.append(c0 * (1 - fz) + c1 * fz)
+        return out
 
     def sample_lod(self, p01, lod):
-        """Sample with continuous LOD by lerping two static mip samples."""
+        """Sample with continuous LOD (lerp of the two bracketing levels).
+
+        p01: (...,3) in [0,1]; lod: (...) float. Returns (...,4)."""
+        shape = p01.shape[:-1]
+        px = p01[..., 0].reshape(-1)
+        py = p01[..., 1].reshape(-1)
+        pz = p01[..., 2].reshape(-1)
+        r, g, b, a = self._sample_lod_soa(px, py, pz,
+                                          jnp.reshape(lod, (-1,)))
+        return jnp.stack([r, g, b, a], -1).reshape(shape + (4,))
+
+    def _sample_lod_soa(self, px, py, pz, lod):
         n_mips = len(self.mips)
         lod = jnp.clip(lod, 0.0, n_mips - 1.001)
         lo = jnp.floor(lod).astype(jnp.int32)
-        f = (lod - lo.astype(jnp.float32))[..., None]
-        out = jnp.zeros(p01.shape[:-1] + (4,), jnp.float32)
-        for i in range(n_mips - 1):
-            sel = lo == i
-            v = self._sample_trilinear(i, p01) * (1 - f) + self._sample_trilinear(i + 1, p01) * f
-            out = jnp.where(sel[..., None], v, out)
-        return out
+        f = lod - lo.astype(jnp.float32)
+        v0 = self._sample_level(lo, px, py, pz)
+        v1 = self._sample_level(jnp.minimum(lo + 1, n_mips - 1), px, py, pz)
+        return tuple(a * (1 - f) + b * f for a, b in zip(v0, v1))
 
     # ------------------------------------------------------------------
     def cone_trace(self, origin, normal, frame=0):
@@ -193,28 +266,40 @@ class VoxelGrid:
         tan_half = np.tan(np.radians(s.cone_aperture_deg) * 0.5)
 
         n_pts = origin.shape[0]
-        total = jnp.zeros((n_pts, 3), jnp.float32)
+        ox, oy, oz = origin[:, 0], origin[:, 1], origin[:, 2]
+        tr = jnp.zeros((n_pts,), jnp.float32)
+        tg = jnp.zeros((n_pts,), jnp.float32)
+        tb = jnp.zeros((n_pts,), jnp.float32)
         state = rng_mod.init_state(jnp.arange(n_pts, dtype=jnp.uint32), frame)
         n_steps = 10
+        inv_ext = 1.0 / extent
         for c in range(s.cones):
             state, u = rng_mod.uniform2(state)
             # stratified cosine cones around the normal
             cone_dir = sampling.cosine_hemisphere(normal, u)
-            acc = jnp.zeros((n_pts, 3), jnp.float32)
-            occ = jnp.zeros((n_pts, 1), jnp.float32)
+            cdx, cdy, cdz = cone_dir[:, 0], cone_dir[:, 1], cone_dir[:, 2]
+            ar = jnp.zeros((n_pts,), jnp.float32)
+            ag = jnp.zeros((n_pts,), jnp.float32)
+            ab = jnp.zeros((n_pts,), jnp.float32)
+            occ = jnp.zeros((n_pts,), jnp.float32)
             t = voxel_size * 2.0
             for _ in range(n_steps):
-                p = origin + cone_dir * t
-                p01 = (p - self.grid_min) / extent
+                p0 = (ox + cdx * t - self.grid_min[0]) * inv_ext[0]
+                p1 = (oy + cdy * t - self.grid_min[1]) * inv_ext[1]
+                p2 = (oz + cdz * t - self.grid_min[2]) * inv_ext[2]
                 diam = jnp.maximum(2.0 * tan_half * t, voxel_size)
-                lod = jnp.log2(diam / voxel_size)
-                v = self.sample_lod(p01, jnp.broadcast_to(lod, (n_pts,)))
-                inb = jnp.all((p01 >= 0.0) & (p01 <= 1.0), axis=-1, keepdims=True)
-                rgb = v[..., :3] * inb
-                a = jnp.clip(v[..., 3:4], 0.0, 1.0) * inb
-                acc = acc + (1.0 - occ) * a * rgb
+                lod = jnp.broadcast_to(jnp.log2(diam / voxel_size), (n_pts,))
+                vr, vg, vb, va = self._sample_lod_soa(p0, p1, p2, lod)
+                inb = ((p0 >= 0.0) & (p0 <= 1.0) & (p1 >= 0.0) & (p1 <= 1.0)
+                       & (p2 >= 0.0) & (p2 <= 1.0)).astype(jnp.float32)
+                a = jnp.clip(va, 0.0, 1.0) * inb
+                w = (1.0 - occ) * a
+                ar = ar + w * vr * inb
+                ag = ag + w * vg * inb
+                ab = ab + w * vb * inb
                 occ = jnp.minimum(occ + (1.0 - occ) * a, 1.0)
                 t = t * 1.7 + voxel_size
                 t = jnp.minimum(t, diag * s.max_cone_distance)
-            total = total + acc
-        return total * (s.strength / s.cones)
+            tr, tg, tb = tr + ar, tg + ag, tb + ab
+        k = s.strength / s.cones
+        return jnp.stack([tr, tg, tb], -1) * k

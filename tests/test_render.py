@@ -156,7 +156,8 @@ class TestVxgi:
             VxgiSettings(resolution=16, cones=2, max_samples=1 << 12),
         )
         grid = g.voxelize(db.device_scene, mats, lights, 1)
-        assert float(jnp.sum(grid[..., 3])) > 0  # some voxels filled
+        assert grid.shape == (4, 16, 16, 16)  # channel-first
+        assert float(jnp.sum(grid[3])) > 0  # some voxels filled
         # cone trace from the floor center gets some bounce light
         gi = g.cone_trace(jnp.asarray([[278.0, 10.0, 280.0]] * 4), jnp.asarray([[0.0, 1.0, 0.0]] * 4))
         assert gi.shape == (4, 3)
