@@ -1397,8 +1397,10 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                             memory_space=pltpu.VMEM)
     ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                               memory_space=pltpu.VMEM)
-    want = CHAINS_ANY if any_hit else CHAINS
-    chains = want if rows % max(want, 1) == 0 else 1
+    # steered kernel: co-chains unmeasured on this path — keep CHAINS for
+    # both hit modes (CHAINS_ANY applies to the plain whole-table kernel
+    # where the 12% any-hit win was measured)
+    chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
     outs = pl.pallas_call(
         _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
                              chains=chains),
