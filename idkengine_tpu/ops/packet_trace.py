@@ -1116,23 +1116,63 @@ def _segment_entry_t(o, d, t_max, bmin, bmax):
     return jnp.where(hit, tn, jnp.float32(jnp.inf))
 
 
-def _nearest_segments(o, d, t_max, seg_min, seg_max, n):
-    """Per-ray ids of the n nearest intersected segments (S = id means
-    'none'). Running top-n scan — no (R,S) buffer is materialized."""
+def _entry_all(o, d, t_max, seg_min, seg_max, r_chunk: int = 1 << 18):
+    """Yield (rows_slice, (Rc,S) entry-t) chunks for ALL segments at once.
+
+    One batched SoA fusion per ray chunk replaces S separate sweeps that
+    each re-read every ray — at 2.8M rays / 61 segments the per-segment
+    Python loop was a major 'small fusions' sink in the frame profile."""
     S = seg_min.shape[0]
     R = o.shape[0]
-    INF = jnp.float32(jnp.inf)
-    ts = [jnp.full((R,), INF) for _ in range(n)]
-    ids = [jnp.full((R,), S, jnp.int32) for _ in range(n)]
-    for s in range(S):
-        t = _segment_entry_t(o, d, t_max, jnp.asarray(seg_min[s]),
-                             jnp.asarray(seg_max[s]))
-        i = jnp.full((R,), s, jnp.int32)
-        for k in range(n):
-            swap = t < ts[k]
-            ts[k], t = jnp.where(swap, t, ts[k]), jnp.where(swap, ts[k], t)
-            ids[k], i = (jnp.where(swap, i, ids[k]),
-                         jnp.where(swap, ids[k], i))
+    tiny = jnp.float32(1e-20)
+    bmin = jnp.asarray(seg_min, jnp.float32)  # (S,3)
+    bmax = jnp.asarray(seg_max, jnp.float32)
+    for lo_i in range(0, R, r_chunk):
+        sl = slice(lo_i, min(lo_i + r_chunk, R))
+        ox, oy, oz = o[sl, 0:1], o[sl, 1:2], o[sl, 2:3]  # (Rc,1)
+        tm = t_max[sl]
+
+        def inv(dc):
+            dn = jnp.where(jnp.abs(dc) < tiny,
+                           jnp.where(dc < 0, -tiny, tiny), dc)
+            return 1.0 / dn
+
+        ix, iy, iz = inv(d[sl, 0:1]), inv(d[sl, 1:2]), inv(d[sl, 2:3])
+        t0x = (bmin[None, :, 0] - ox) * ix
+        t1x = (bmax[None, :, 0] - ox) * ix
+        t0y = (bmin[None, :, 1] - oy) * iy
+        t1y = (bmax[None, :, 1] - oy) * iy
+        t0z = (bmin[None, :, 2] - oz) * iz
+        t1z = (bmax[None, :, 2] - oz) * iz
+        tn = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                     jnp.minimum(t0y, t1y)),
+                         jnp.minimum(t0z, t1z))
+        tf = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                     jnp.maximum(t0y, t1y)),
+                         jnp.maximum(t0z, t1z))
+        tn = jnp.maximum(tn, 0.0)
+        hit = (tf >= tn) & (tn <= tm[:, None]) & (tm[:, None] > 0.0)
+        yield sl, jnp.where(hit, tn, jnp.float32(jnp.inf))
+
+
+def _nearest_segments(o, d, t_max, seg_min, seg_max, n):
+    """Per-ray ids of the n nearest intersected segments (S = id means
+    'none'), via batched entry chunks + top_k."""
+    S = seg_min.shape[0]
+    ids_parts, ts_parts = [], []
+    for _sl, ent in _entry_all(o, d, t_max, seg_min, seg_max):
+        neg, idx = jax.lax.top_k(-ent, min(n, S))
+        ts_parts.append(-neg)
+        ids_parts.append(jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32),
+                                   jnp.int32(S)))
+    ts_all = jnp.concatenate(ts_parts, axis=0)
+    ids_all = jnp.concatenate(ids_parts, axis=0)
+    k = ids_all.shape[1]
+    ids = [ids_all[:, i] if i < k else jnp.full((o.shape[0],), S, jnp.int32)
+           for i in range(n)]
+    ts = [ts_all[:, i] if i < k
+          else jnp.full((o.shape[0],), jnp.inf, jnp.float32)
+          for i in range(n)]
     return ids, ts
 
 
@@ -1442,26 +1482,34 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                u=u.reshape(rp)[:r], v=v.reshape(rp)[:r])
 
 
-def _build_steering(o, d, t_max, seg_min, seg_max, packet, K):
+def _build_steering(o, d, t_max, seg_min, seg_max, packet, K,
+                    exclude=None):
     """Per-packet steered segment ids: every segment any of the packet's
     rays' boxes intersect, ordered near-first (mean entry t). counts and
-    mean-t come from reshape-reduces (rays contiguous per packet) — no
-    scatters. A packet intersecting more than K distinct segments leaves the
-    excess to the (runtime-skipped) fallback sweep."""
+    mean-t come from reshape-reduces over batched entry chunks (rays
+    contiguous per packet) — no scatters, one fusion per ray chunk instead
+    of S sweeps. A packet intersecting more than K distinct segments leaves
+    the excess to the residual steered pass / fallback sweep.
+
+    exclude: optional (n_pk, S) bool — pairs already traced (the residual
+    pass excludes the first pass's steer slots)."""
     S = seg_min.shape[0]
     rp = o.shape[0]
     n_pk = rp // packet
-    counts, mean_t = [], []
-    for s in range(S):
-        ent = _segment_entry_t(o, d, t_max, jnp.asarray(seg_min[s]),
-                               jnp.asarray(seg_max[s]))
-        m = ent < jnp.inf
-        c = m.reshape(n_pk, packet).sum(axis=1)
-        tsum = jnp.where(m, ent, 0.0).reshape(n_pk, packet).sum(axis=1)
-        counts.append(c)
-        mean_t.append(tsum / jnp.maximum(c, 1))
-    counts = jnp.stack(counts, axis=1)  # (n_pk, S)
-    mean_t = jnp.stack(mean_t, axis=1)
+    c_parts, t_parts = [], []
+    # chunk on packet boundaries so per-packet reduces stay within a chunk
+    r_chunk = max(packet, ((1 << 18) // packet) * packet)
+    for sl, ent in _entry_all(o, d, t_max, seg_min, seg_max, r_chunk):
+        m = ent < jnp.inf  # (Rc, S)
+        pk_c = sl.stop - sl.start
+        c_parts.append(m.reshape(pk_c // packet, packet, S).sum(axis=1))
+        t_parts.append(jnp.where(m, ent, 0.0)
+                       .reshape(pk_c // packet, packet, S).sum(axis=1))
+    counts = jnp.concatenate(c_parts, axis=0)  # (n_pk, S)
+    mean_t = jnp.concatenate(t_parts, axis=0) / jnp.maximum(counts, 1)
+    hits = counts > 0
+    if exclude is not None:
+        counts = jnp.where(exclude, 0, counts)
     k = min(K, S)
     # pick the k most-populated segments, then order them near-first
     top, idx = jax.lax.top_k(counts, k)
@@ -1471,10 +1519,10 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K):
     idx = jnp.take_along_axis(idx, order, axis=1)
     top = jnp.take_along_axis(top, order, axis=1)
     steer = jnp.where(top > 0, idx.astype(jnp.int32), jnp.int32(-1))
-    # per-(packet, segment) intersect flags: the fallback sweeps reuse these
+    # per-(packet, segment) intersect flags: the fallback logic reuses these
     # instead of re-running S entry sweeps over every ray (measured ~600 ms
     # of XLA overhead at 2.8M/29 segments)
-    return steer, counts > 0
+    return steer, hits
 
 
 @partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
@@ -1507,12 +1555,26 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
     best = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, False, itp, rows, wide=ps_segs[0].wide)
-    # fallback: segments a packet intersects beyond its K steered slots —
-    # packet-granular masks from the steering build (conservative: no
-    # t_best pruning host-side; the kernel's root test + carried t_max
-    # prune on device), each sweep cond-skipped unless some packet needs it
+    seg_ids = jnp.arange(S, dtype=jnp.int32)
+    done = jnp.any(steer[:, :, None] == seg_ids[None, None, :], axis=1)
+    # residual steered pass: rebuild steering against the TIGHTENED best.t
+    # (far segments prune away), excluding pass-1 pairs. This replaces the
+    # common case of the per-segment fallback sweeps — each taken sweep was
+    # a full kernel launch over mostly-dead packets (~300-400 ms/frame of
+    # 'fallback conds' in the 2.8M profile).
+    bt = best.t if pad == 0 else jnp.concatenate(
+        [best.t, jnp.full((pad,), -1.0, jnp.float32)])
+    steer2, pk_hits2 = _build_steering(op, dp, bt, seg_min, seg_max, packet,
+                                       k_steer, exclude=done)
+    h2 = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer2,
+        o, d, best.t, False, itp, rows, wide=ps_segs[0].wide)
+    best = _merge_hits(best, h2)
+    done = done | jnp.any(steer2[:, :, None] == seg_ids[None, None, :],
+                          axis=1)
+    # exact backstop: pairs still uncovered (beyond 2K slots) — rarely taken
     for s in range(S):
-        pk_need = pk_hits[:, s] & ~jnp.any(steer == s, axis=1)  # (n_pk,)
+        pk_need = pk_hits2[:, s] & ~done[:, s]  # (n_pk,)
 
         def sweep(b, s=s, pk_need=pk_need):
             need = jnp.repeat(pk_need, packet)[:R]
@@ -1553,8 +1615,23 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, True, itp, rows, wide=ps_segs[0].wide)
     occ = h.slot >= 0
+    seg_ids = jnp.arange(S, dtype=jnp.int32)
+    done = jnp.any(steer[:, :, None] == seg_ids[None, None, :], axis=1)
+    # residual steered pass: occluded rays drop out of the steering build
+    # (their t_max masks to -1), pass-1 pairs are excluded
+    tm1 = jnp.where(occ, jnp.float32(-1.0), t_max)
+    tp2 = tm1 if pad == 0 else jnp.concatenate(
+        [tm1, jnp.full((pad,), -1.0, jnp.float32)])
+    steer2, pk_hits2 = _build_steering(op, dp, tp2, seg_min, seg_max, packet,
+                                       k_steer, exclude=done)
+    h2 = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer2,
+        o, d, tm1, True, itp, rows, wide=ps_segs[0].wide)
+    occ = occ | (h2.slot >= 0)
+    done = done | jnp.any(steer2[:, :, None] == seg_ids[None, None, :],
+                          axis=1)
     for s in range(S):
-        pk_need = pk_hits[:, s] & ~jnp.any(steer == s, axis=1)
+        pk_need = pk_hits2[:, s] & ~done[:, s]
 
         def sweep(oc, s=s, pk_need=pk_need):
             need = jnp.repeat(pk_need, packet)[:R] & ~oc
