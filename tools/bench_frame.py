@@ -5,9 +5,13 @@ import collections
 import os
 import sys
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cache"))
+
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 from bench_waves import device_ms  # noqa: E402
 
 
@@ -24,7 +28,7 @@ def main():
     h = int(os.environ.get("IDK_BENCH_RES_H", 1080))
     db = SceneDatabase(BuildSettings(
         max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0))
-    db.add_model(atrium(110_000))
+    db.add_model(atrium(int(os.environ.get('IDK_BENCH_TRIS', 110_000))))
     db.build()
     mats = db.materials.soa()
     db.lights.add([0.0, 10.5, 0.0], [40.0, 38.0, 35.0], radius=0.8)
@@ -32,12 +36,23 @@ def main():
     lights = db.lights.soa()
     cam = Camera(position=np.array([0.0, 3.0, 24.0], np.float32),
                  yaw=-90.0, fov_y=65.0)
+    # settings identical to bench.py so the persistent compile cache is
+    # shared between the headline bench and this profile
     s = PathTracerSettings(
         ray_depth=int(os.environ.get("IDK_BENCH_DEPTH", 2)),
-        spp_per_frame=1, do_ray_sorting=True)
+        russian_roulette=False, do_ray_sorting=True, tile_size=0,
+        sky_strength=1.0, use_packet_tracer=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+    # same path selection as bench.py: steered (WaveSet) when available
+    wb = db.wave_set() if int(os.environ.get("IDK_FRAME_STEER", "1")) else (
+        None if db.wave_seg_min is None else (db.wave_seg_min, db.wave_seg_max))
     pt = PathTracer(db.device_scene, mats, lights, w, h, s,
-                    packet_scene=db.packet_scene,
-                    wave_boxes=(db.wave_seg_min, db.wave_seg_max))
+                    packet_scene=db.packet_scene, wave_boxes=wb)
     pt.render_frame(cam)  # warm up / compile
     with jax.profiler.trace("/tmp/jt_frame"):
         pt.render_frame(cam)

@@ -36,11 +36,12 @@ def main():
     vals = jnp.asarray(rng.random((4, N), np.float32))
 
     def timed(fn, *args):
-        out = jax.block_until_ready(fn(jnp.float32(0), *args))
+        # axon: block_until_ready is unreliable — force a host fetch
+        _ = float(fn(jnp.float32(0), *args))
         t0 = time.time()
         for i in range(reps):
             out = fn(jnp.float32(1e-6 * (i + 1)), *args)
-        jax.block_until_ready(out)
+        _ = float(out)
         return (time.time() - t0) / reps * 1e3
 
     @jax.jit
