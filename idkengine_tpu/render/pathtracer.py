@@ -250,7 +250,13 @@ class PathTracer:
         for src in (inst_attr_srcs or []):
             parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
                                     src.mat, src.e1, src.e2))
-        self._attr = jnp.asarray(np.concatenate(parts, axis=0))
+        # channel-FIRST (32, n_slots): a per-hit column gather touches 4
+        # tiles/index (32 sublanes) vs 32 tiles for row gathers from the
+        # (n_slots,32) table XLA lays out column-major — measured 117 ms
+        # per 2M-hit gather at 2.8M slots, 2 gathers/frame. The (32,R)
+        # output is also exactly the SoA shape shading consumes.
+        self._attr = jnp.asarray(
+            np.ascontiguousarray(np.concatenate(parts, axis=0).T))
         self.instances = instances
         # static feature gates: keep the hot path untouched for scenes
         # without alpha-tested or normal-mapped materials
@@ -370,15 +376,15 @@ class PathTracer:
             141-146): MASK materials use their cutoff deterministically,
             BLEND keeps with probability alpha, OPAQUE always keeps."""
             slot_ = jnp.maximum(hit_.slot, 0)
-            af_ = attr[slot_]
+            af_ = attr[:, slot_]  # (32, R) channel-first
             wb_ = 1.0 - hit_.u - hit_.v
-            uv_ = (af_[:, 0:2] * wb_[..., None]
-                   + af_[:, 2:4] * hit_.u[..., None]
-                   + af_[:, 4:6] * hit_.v[..., None])
-            a_ = af_[:, 28]
-            cut_ = af_[:, 29]
+            uv_ = jnp.stack(
+                [af_[0] * wb_ + af_[2] * hit_.u + af_[4] * hit_.v,
+                 af_[1] * wb_ + af_[3] * hit_.u + af_[5] * hit_.v], -1)
+            a_ = af_[28]
+            cut_ = af_[29]
             if self._has_textures:
-                mid_ = af_[:, 25].astype(jnp.int32)
+                mid_ = af_[25].astype(jnp.int32)
                 tex_ = _sample_atlas(mats["atlas"], mats["base_layer"][mid_], uv_)
                 a_ = a_ * tex_[..., 3]
             state_, u_a = rng.uniform(state_)
@@ -582,14 +588,13 @@ class PathTracer:
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            af = attr[slot]  # (R,32) packed slot attributes
-            an = af[:, 9:12].view(jnp.uint32)
-            n0 = decompress_normal(an[:, 0], jnp)
-            n1 = decompress_normal(an[:, 1], jnp)
-            n2 = decompress_normal(an[:, 2], jnp)
+            af = attr[:, slot]  # (32, R) packed slot attributes, SoA
+            n0 = decompress_normal(af[9].view(jnp.uint32), jnp)
+            n1 = decompress_normal(af[10].view(jnp.uint32), jnp)
+            n2 = decompress_normal(af[11].view(jnp.uint32), jnp)
             ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
             ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
-            gn = af[:, 6:9]
+            gn = jnp.stack([af[6], af[7], af[8]], -1)
             if instances is not None:
                 # instanced-BLAS attrs are LOCAL space: rotate the frames by
                 # the instance's normal matrix (ref: the TLAS path's
@@ -609,20 +614,17 @@ class PathTracer:
             gn = jnp.where(flip[..., None], -gn, gn)
             ns = jnp.where(jnp.sum(ns * gn, axis=-1, keepdims=True) < 0.0, -ns, ns)
 
-            uv = (
-                af[:, 0:2] * w_b[..., None]
-                + af[:, 2:4] * u_b[..., None]
-                + af[:, 4:6] * v_b[..., None]
-            )
-            mat_id = af[:, 25].astype(jnp.int32)
+            uv = jnp.stack(
+                [af[0] * w_b + af[2] * u_b + af[4] * v_b,
+                 af[1] * w_b + af[3] * u_b + af[5] * v_b], -1)
+            mat_id = af[25].astype(jnp.int32)
             if self._has_normal_maps:
                 # tangent-space normal mapping (ref: Surface.glsl:96-118):
                 # TBN from the per-triangle UV-derived frame, z along the
                 # interpolated shading normal
                 nl_ = mats["normal_layer"][mat_id]
-                tb = af[:, 26:28].view(jnp.uint32)
-                tan = decompress_normal(tb[:, 0], jnp)
-                bit = decompress_normal(tb[:, 1], jnp)
+                tan = decompress_normal(af[26].view(jnp.uint32), jnp)
+                bit = decompress_normal(af[27].view(jnp.uint32), jnp)
                 if instances is not None:
                     nm_i2 = instances.normal_mat[jnp.maximum(hit_inst, 0)]
                     rot2 = (hit_inst >= 0)[..., None]
@@ -646,14 +648,14 @@ class PathTracer:
                 pert = jnp.where(
                     jnp.sum(pert * gn, axis=-1, keepdims=True) < 0.0, -pert, pert)
                 ns = jnp.where((nl_ >= 0)[..., None], pert, ns)
-            mf = af[:, 12:25]  # packed material factors (baked per slot)
-            albedo = mf[:, 0:3]
-            emissive = mf[:, 3:6]
-            metallic = mf[:, 6]
-            roughness = mf[:, 7]
-            transmission = mf[:, 8]
-            ior = mf[:, 9]
-            absorb = mf[:, 10:13]
+            # packed material factors (baked per slot), rows 12..24
+            albedo = jnp.stack([af[12], af[13], af[14]], -1)
+            emissive = jnp.stack([af[15], af[16], af[17]], -1)
+            metallic = af[18]
+            roughness = af[19]
+            transmission = af[20]
+            ior = af[21]
+            absorb = jnp.stack([af[22], af[23], af[24]], -1)
             if self._has_textures:
                 tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
                 albedo = albedo * tex[..., :3]
