@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Per-hit attribute fetch strategies (the 117 ms/2M-gather problem).
+
+The (T,32) packed attr table gets laid out column-major by XLA (dense,
+consumer-friendly) which makes each per-hit row gather touch 32 strided
+tiles. Variants:
+  naive    — tbl[idx] row gather from (T,32), XLA-chosen layouts
+  packed4  — 4 slots per 128-lane row: (T/4,128) dense row gather (one
+             tile/hit) + layout-pinned transpose + 4-way lane-group
+             select per channel
+Consumption modeled as a weighted sum of all 32 channels.
+
+Env: IDK_ATTR_T (2.75M), IDK_ATTR_N (2M), IDK_BENCH_REPS (5).
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/jax_cache"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.layout import Format, Layout, with_layout_constraint
+
+    T = int(os.environ.get("IDK_ATTR_T", 2_755_496))
+    N = int(os.environ.get("IDK_ATTR_N", 2_073_600))
+    reps = int(os.environ.get("IDK_BENCH_REPS", 5))
+    rng = np.random.default_rng(0)
+    tbl_np = rng.random((T, 32), np.float32)
+    tbl = jnp.asarray(tbl_np)
+    T4 = (T + 3) // 4
+    p4 = np.zeros((T4 * 4, 32), np.float32)
+    p4[:T] = tbl_np
+    tbl4 = jnp.asarray(p4.reshape(T4, 128))
+    idx = jnp.asarray(rng.integers(0, T, N).astype(np.int32))
+    w = jnp.asarray(rng.random((32,), np.float32))
+
+    def timed(fn, *args):
+        _ = float(fn(jnp.int32(0), *args))
+        t0 = time.time()
+        for i in range(reps):
+            out = fn(jnp.int32(i + 1), *args)
+        _ = float(out)
+        return (time.time() - t0) / reps * 1e3
+
+    @jax.jit
+    def naive(salt, idx, tbl, w):
+        g = tbl[(idx + salt) % T]
+        return jnp.sum(g * w[None, :])
+
+    fmt = Layout((1, 0))
+
+    @jax.jit
+    def packed4(salt, idx, tbl4, w):
+        s = (idx + salt) % T
+        g = tbl4[s >> 2]  # (N,128) one-tile rows
+        g = with_layout_constraint(g, fmt)
+        gt = g.T          # (128,N) real transpose
+        gt = with_layout_constraint(gt, fmt)
+        sub = s & 3
+        acc = jnp.zeros((N,), jnp.float32)
+        for c in range(32):
+            v = jnp.where(sub == 0, gt[c],
+                          jnp.where(sub == 1, gt[32 + c],
+                                    jnp.where(sub == 2, gt[64 + c],
+                                              gt[96 + c])))
+            acc = acc + v * w[c]
+        return jnp.sum(acc)
+
+    r0 = float(naive(jnp.int32(7), idx, tbl, w))
+    r1 = float(packed4(jnp.int32(7), idx, tbl4, w))
+    assert abs(r0 - r1) / max(abs(r0), 1) < 1e-4, (r0, r1)
+
+    for name, fn, extra in [("naive  ", naive, (tbl, w)),
+                            ("packed4", packed4, (tbl4, w))]:
+        try:
+            ms = timed(fn, idx, *extra)
+        except Exception as e:
+            print(f"{name}  FAILED: {type(e).__name__} "
+                  f"{str(e).splitlines()[0][:110]}", flush=True)
+            continue
+        print(f"{name}  T={T} N={N}  {ms:8.2f} ms ({N/ms/1e3:.0f} Mhits/s)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
