@@ -250,11 +250,13 @@ class PathTracer:
         for src in (inst_attr_srcs or []):
             parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
                                     src.mat, src.e1, src.e2))
-        # channel-FIRST (32, n_slots): a per-hit column gather touches 4
-        # tiles/index (32 sublanes) vs 32 tiles for row gathers from the
-        # (n_slots,32) table XLA lays out column-major — measured 117 ms
-        # per 2M-hit gather at 2.8M slots, 2 gathers/frame. The (32,R)
-        # output is also exactly the SoA shape shading consumes.
+        # channel-FIRST (32, n_slots). NOTE: physically identical to the
+        # (n_slots,32) column-major layout XLA chose before (layouts are
+        # the compiler's choice; the fetch stays ~40 ns/hit = ~110 ms per
+        # 2M-hit gather at 2.8M slots, 2x/frame). Kept because the (32,R)
+        # output is the SoA shape shading consumes; tools/bench_attr.py
+        # records the failed packed4 re-layout attempt — a Pallas DMA
+        # gather is the remaining lever (BENCH_NOTES.md).
         self._attr = jnp.asarray(
             np.ascontiguousarray(np.concatenate(parts, axis=0).T))
         self.instances = instances
