@@ -9,21 +9,35 @@ repo is >=150 Mrays/s per TPU v5e chip, so vs_baseline is value/150.
 The reference's Bistro asset isn't in the snapshot (Git-LFS pointers), so
 the scene is the procedural atrium at a Bistro-class 2.8M triangles
 (override with IDK_BENCH_TRIS / IDK_BENCH_RES / IDK_BENCH_DEPTH).
+
+Robustness (round 2 recorded rc=1 with NO number because the axon backend
+failed to initialize): this file is an ORCHESTRATOR that probes the backend
+in a subprocess with retries, then runs a ladder of configurations —
+  1. TPU, 2.8M tris (the documented scene scale)
+  2. TPU, 110k tris (downgrade; metric string says so)
+  3. CPU fallback, small scene (last resort; metric string says so)
+— each time-boxed in its own subprocess, and ALWAYS emits a JSON line.
+`bench.py --run` is the actual single-config benchmark (env-driven).
 """
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-import numpy as np
+CACHE_DIR = os.path.expanduser("~/.cache/jax_cache")
 
 
-def main():
+# ---------------------------------------------------------------------------
+# Inner benchmark (single config, runs in its own subprocess)
+# ---------------------------------------------------------------------------
+
+def run_one():
     t_setup = time.time()
     # persistent compilation cache: repeat benches (and the driver's run
     # after a warmup) skip the multi-minute XLA/Mosaic compiles
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                          os.path.expanduser("~/.cache/jax_cache"))
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
     import jax
 
     try:
@@ -32,6 +46,8 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    import numpy as np
 
     from idkengine_tpu.render import Camera, PathTracer, PathTracerSettings
     from idkengine_tpu.scene.procedural import atrium
@@ -43,13 +59,15 @@ def main():
     depth = int(os.environ.get("IDK_BENCH_DEPTH", 2))  # primary + bounce
     tile = int(os.environ.get("IDK_BENCH_TILE", 0))
     sort_rays = bool(int(os.environ.get("IDK_BENCH_SORT", "1")))
+    label = os.environ.get("IDK_BENCH_LABEL", "")
 
     from idkengine_tpu.bvh.builder import BuildSettings
 
-    # packet tracer wants <=8-tri leaves; presplit off keeps the leaf table
+    # packet tracer wants <=12-tri leaves; presplit off keeps the leaf table
     # inside the VMEM budget (large scenes fall back to the XLA trace)
     db = SceneDatabase(BuildSettings(
-        max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0,
+        max_leaf_triangle_count=12, traversal_cost=4.0,
+        presplit_factor=float(os.environ.get("IDK_BENCH_PRESPLIT", "0.0")),
     ))
     db.add_model(atrium(tris))
     scene = db.build()
@@ -78,6 +96,8 @@ def main():
                                      (db.wave_seg_min, db.wave_seg_max)))),
         ("xla", dict(packet_scene=None, wave_boxes=None)),
     ]
+    if not settings.use_packet_tracer:
+        variants = variants[-1:]
     pt = None
     path_name = "steered"
     for path_name, kw in variants:
@@ -114,10 +134,14 @@ def main():
         f"{total_rays/1e6:.1f} Mrays total",
         file=sys.stderr,
     )
+    metric = (f"Mrays/s per chip, wavefront PT ({path_name}), "
+              f"{tris//1000}k-tri atrium, {width}x{height} depth={depth}")
+    if label:
+        metric += f" [{label}]"
     print(
         json.dumps(
             {
-                "metric": f"Mrays/s per chip, wavefront PT ({path_name}), {tris//1000}k-tri atrium, {width}x{height} depth={depth}",
+                "metric": metric,
                 "value": round(mrays, 2),
                 "unit": "Mrays/s",
                 "vs_baseline": round(mrays / 150.0, 4),
@@ -126,5 +150,121 @@ def main():
     )
 
 
+# ---------------------------------------------------------------------------
+# Orchestrator: probe backend, walk the config ladder, always emit JSON
+# ---------------------------------------------------------------------------
+
+def _probe_backend(attempts=3, probe_timeout=150, sleep_s=20) -> bool:
+    """Can a fresh process initialize the accelerator backend? Round 2's
+    driver run died here ('Unable to initialize backend axon: UNAVAILABLE'),
+    and the tunnel sometimes hangs instead of failing — so probe in a
+    subprocess with a hard timeout, and retry with backoff."""
+    code = ("import jax; d = jax.devices(); "
+            "print('PROBE_OK', d[0].platform, len(d))")
+    for i in range(attempts):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, text=True,
+                timeout=probe_timeout,
+            )
+            if p.returncode == 0 and "PROBE_OK" in p.stdout:
+                print(f"# backend probe ok: {p.stdout.strip()}", file=sys.stderr)
+                return True
+            print(f"# backend probe attempt {i+1} failed rc={p.returncode}: "
+                  f"{(p.stderr or p.stdout)[-300:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe attempt {i+1} timed out after "
+                  f"{probe_timeout}s", file=sys.stderr)
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    return False
+
+
+def _run_config(env_over: dict, timeout_s: float):
+    """Run `bench.py --run` under env overrides; return parsed JSON or None.
+    Kills the whole process group on timeout (compiles can wedge)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    env.update({k: str(v) for k, v in env_over.items()})
+    print(f"# running config {env_over} (timeout {timeout_s:.0f}s)",
+          file=sys.stderr)
+    t0 = time.time()
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--run"],
+        env=env, stdout=subprocess.PIPE, stderr=sys.stderr,
+        text=True, start_new_session=True,
+    )
+    try:
+        out, _ = proc.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"# config timed out after {time.time()-t0:.0f}s; killing",
+              file=sys.stderr)
+        try:
+            os.killpg(proc.pid, signal.SIGKILL)
+        except Exception:
+            proc.kill()
+        try:
+            proc.communicate(timeout=30)
+        except Exception:
+            pass
+        return None
+    if proc.returncode != 0:
+        print(f"# config exited rc={proc.returncode}", file=sys.stderr)
+    for line in reversed((out or "").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                rec = json.loads(line)
+                if "metric" in rec and "value" in rec:
+                    return rec
+            except Exception:
+                pass
+    return None
+
+
+def orchestrate():
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
+    cpu_env = {
+        # force the local CPU backend past the axon plugin
+        "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+        "IDK_BENCH_TRIS": 40_000, "IDK_BENCH_RES_W": 256,
+        "IDK_BENCH_RES_H": 256, "IDK_BENCH_FRAMES": 2,
+        "IDK_BENCH_PACKET": 0, "IDK_BENCH_LABEL": "cpu-fallback",
+    }
+    ladder = []
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        ladder = [(cpu_env, 900)]
+    elif _probe_backend():
+        ladder = [
+            ({}, float(os.environ.get("IDK_BENCH_DEADLINE", 2100))),
+            ({"IDK_BENCH_TRIS": 110_000,
+              "IDK_BENCH_LABEL": "downgraded from 2.8M"}, 900),
+            (cpu_env, 900),
+        ]
+    else:
+        print("# accelerator backend unavailable; CPU fallback only",
+              file=sys.stderr)
+        ladder = [(cpu_env, 900)]
+
+    for env_over, timeout_s in ladder:
+        rec = _run_config(env_over, timeout_s)
+        if rec is not None:
+            print(json.dumps(rec))
+            return 0
+    # last resort: an explicit zero record beats a stack trace (round 2's
+    # official record was `rc=1, parsed: null`)
+    print(json.dumps({
+        "metric": "Mrays/s per chip, wavefront PT (ALL CONFIGS FAILED — "
+                  "backend unavailable)",
+        "value": 0.0,
+        "unit": "Mrays/s",
+        "vs_baseline": 0.0,
+    }))
+    return 0
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        run_one()
+    else:
+        sys.exit(orchestrate())
