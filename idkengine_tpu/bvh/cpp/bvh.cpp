@@ -639,12 +639,20 @@ float blas_epo(void* handle, const float* verts, const uint32_t* idx,
     double epo = 0.0;
     uint32_t stack[128];
     int sp = 0;
+    // With presplitting, tri_indices repeats a triangle id once per
+    // referencing leaf — count each external triangle ONCE per target node
+    // or the overlap area is inflated on split builds.
+    std::vector<bool> seen(ntris, false);
     if (overlaps(h->nodes[0]) && target != 0) stack[sp++] = 0;
     while (sp > 0) {
       const BlasNode& m = h->nodes[stack[--sp]];
       if (m.count > 0) {
         for (uint32_t i = m.left_or_first; i < m.left_or_first + m.count; i++) {
           uint32_t t = h->tri_indices[i];
+          if (t < ntris) {
+            if (seen[t]) continue;
+            seen[t] = true;
+          }
           Vec3 p0(verts[3 * idx[3 * t]], verts[3 * idx[3 * t] + 1], verts[3 * idx[3 * t] + 2]);
           Vec3 p1(verts[3 * idx[3 * t + 1]], verts[3 * idx[3 * t + 1] + 1], verts[3 * idx[3 * t + 1] + 2]);
           Vec3 p2(verts[3 * idx[3 * t + 2]], verts[3 * idx[3 * t + 2] + 1], verts[3 * idx[3 * t + 2] + 2]);

@@ -222,6 +222,10 @@ def _restore_dataclass(obj, raw: dict):
             kwargs[f.name] = bool(v)
         elif isinstance(cur, (int, float, str)) and not isinstance(v, (dict, list)):
             kwargs[f.name] = type(cur)(v)
+        elif cur is None:
+            # Optional fields (current value None) can't be type-coerced —
+            # assign the raw JSON value so they still round-trip
+            kwargs[f.name] = v
     import dataclasses as _dc
 
     return _dc.replace(obj, **kwargs)

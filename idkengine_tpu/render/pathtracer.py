@@ -403,9 +403,17 @@ class PathTracer:
                 return state_, hit_, inst_
             t_base = jnp.zeros_like(t_max_)
             o_cur = o_
+            # a hit accepted in an earlier round must NOT be re-tested: the
+            # keep test is stochastic for BLEND materials, so re-rolling it
+            # every round would make alpha=a surfaces behave like
+            # a^alpha_rounds (too transparent)
+            settled = jnp.zeros(t_max_.shape, bool)
             for _ in range(self.alpha_rounds):
                 state_, keep = _alpha_keep(hit_, state_)
-                redo = (hit_.slot >= 0) & ~keep
+                has = hit_.slot >= 0
+                settled_now = settled | (has & keep)
+                redo = has & ~keep & ~settled
+                settled = settled_now
                 adv = hit_.t * (1.0 + 1e-5) + 1e-4
                 o_cur = jnp.where(redo[..., None], o_cur + d_ * adv[..., None], o_cur)
                 t_base = jnp.where(redo, t_base + adv, t_base)

@@ -247,10 +247,14 @@ def decode_selectors(sel_data: bytes, n: int) -> np.ndarray:
     hyb = br.get_bits(1)
     if g or hyb:
         # legacy global/hybrid selector palettes — only seen on tiny
-        # codebooks (e.g. 4x4 white.ktx2); mid selectors are a close match
+        # codebooks (e.g. 4x4 white.ktx2). We fill with MAX selectors
+        # (0xFF): exact for flat-extreme textures like white.ktx2, an
+        # approximation for anything else (the legacy palette tables are
+        # not implemented)
         log.warning("BasisLZ legacy selector palette: approximating %d "
-                    "selectors with mid values", n)
-        rows[:] = 0xFF  # max selector: exact for the flat-white case
+                    "selectors with max values (exact only for flat "
+                    "extremes)", n)
+        rows[:] = 0xFF
         return rows
     dm = read_huffman_table(br)
     prev = [br.get_bits(8) for _ in range(4)]

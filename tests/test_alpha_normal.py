@@ -98,6 +98,38 @@ def test_alpha_opaque_material_unaffected():
     assert not pt2._has_alpha
 
 
+def test_alpha_blend_transmittance_statistics():
+    """BLEND (cutoff=0) with alpha=a must transmit primary rays with
+    probability 1-a — NOT 1-a^alpha_rounds. Regression for the settled-hit
+    bug: re-rolling the stochastic keep test each alpha round made kept
+    BLEND hits re-test, biasing surfaces too transparent."""
+    a = 0.3
+    mat = Material(name="blend", alpha_cutoff=0.0,
+                   base_color=np.array([1, 1, 1, a], np.float32),
+                   roughness=1.0)
+    db = SceneDatabase()
+    db.add_model(_quad_model(mat, z=0.0, size=4.0))
+    back = Material(name="back", base_color=np.array([1, 0, 0, 1], np.float32))
+    db.add_model(_quad_model(back, z=2.0, size=16.0))
+    scene = db.build()
+    pt = PathTracer(scene, db.materials.soa(), db.lights.soa(), 96, 96,
+                    PathTracerSettings(ray_depth=1, sky_strength=0.0,
+                                       nee=False, light_spheres=False,
+                                       use_packet_tracer=False))
+    assert pt._has_alpha
+    assert pt.alpha_rounds >= 2, "regression needs >= 2 alpha rounds"
+    cam = Camera(position=np.array([0, 0, -3], np.float32), yaw=90.0,
+                 fov_y=40.0)
+    pt.render_frame(cam)
+    dep = np.asarray(pt._last_aovs[2]).reshape(96, 96)
+    on = dep > 0.0
+    assert on.sum() > 8000
+    passed = (dep[on] >= 4.0).mean()  # back quad at t~5, front at t~3
+    # expected 1-a = 0.70; the re-roll bug gives 1-a^2 = 0.91
+    assert 0.64 < passed < 0.76, (
+        f"BLEND transmittance {passed:.3f}, expected ~{1-a}")
+
+
 def test_alpha_shadows_pass_through_holes():
     """Shadow rays pass alpha-0 cells: a surface lit through a checkerboard
     shows both lit and shadowed regions (ref: RT shadows alpha attenuation)."""
