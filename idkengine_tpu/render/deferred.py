@@ -26,6 +26,43 @@ class DeferredSettings:
     ambient: float = 0.03  # flat ambient when VXGI is off (ref: Impl.glsl)
 
 
+def shade_points(pos, n, alb, met, rough, cam_origin, lights, n_lights: int,
+                 occlusion_fn, settings: DeferredSettings = DeferredSettings(),
+                 frame=0, state=None):
+    """Per-light GGX direct lighting (+ flat ambient) for arbitrary flat
+    (R,3) points — the per-light loop shared by the deferred pass and the
+    OIT transparent layers (ref: RecordTransparent/fragment.glsl:77-93
+    shades every recorded transparent fragment with the full light loop +
+    shadows). occlusion_fn(o, d, t_max) -> occluded, or None."""
+    r = pos.shape[0]
+    view = cam_origin - pos
+    view = view / jnp.maximum(jnp.linalg.norm(view, axis=-1, keepdims=True), 1e-8)
+    if state is None:
+        state = rng_mod.init_state(jnp.arange(r, dtype=jnp.uint32), frame)
+    out = jnp.zeros((r, 3), jnp.float32)
+    for li in range(n_lights):
+        l_pos = lights["pos"][li]
+        l_rad = lights["radiance"][li]
+        l_r = lights["radius"][li]
+        to_l = l_pos - pos
+        dist = jnp.linalg.norm(to_l, axis=-1)
+        ldir = to_l / jnp.maximum(dist, 1e-8)[..., None]
+        vis = jnp.ones((r,), jnp.float32)
+        if occlusion_fn is not None:
+            acc = jnp.zeros((r,), jnp.float32)
+            for _ in range(settings.shadow_samples):
+                state, u = rng_mod.uniform2(state)
+                sdir, _, _ = sampling.sphere_light_sample(pos, l_pos, l_r, u)
+                occ = occlusion_fn(pos + n * 1e-3, sdir, dist - l_r - 1e-3)
+                acc = acc + 1.0 - occ.astype(jnp.float32)
+            vis = acc / settings.shadow_samples
+        brdf_cos = shading.ggx_brdf(n, view, ldir, alb, met, rough)
+        att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
+        out = out + brdf_cos * l_rad * (att * vis)[..., None]
+    out = out + settings.ambient * alb
+    return out
+
+
 def shade_deferred(gbuf, lights, n_lights: int, cam_origin, occlusion_fn,
                    settings: DeferredSettings = DeferredSettings(),
                    gi: jnp.ndarray | None = None, ao: jnp.ndarray | None = None,

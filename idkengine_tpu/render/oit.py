@@ -28,20 +28,29 @@ class OitSettings:
 def peel_layers(trace_fn, shade_fn, o, d, t_far, layers: int = 4):
     """Depth-peel up to `layers` transparent surfaces along rays (o, d).
 
-    trace_fn(o, d, t_min, t_max) -> (t, valid) of the next transparent hit
-    past t_min; shade_fn(ray_index_array, t) -> (rgb, alpha) for that layer.
+    trace_fn(o, d, t_min, t_max) -> (t, valid, *aux) of the next hit past
+    t_min (aux, e.g. triangle slot/u/v, is forwarded to the shader);
+    shade_fn(t, valid, *aux) -> (rgb, alpha) or (rgb, alpha, stop) for that
+    layer — `stop` marks rays whose peel ends here WITHOUT compositing
+    (e.g. an opaque hit already shaded by the opaque pass).
     Returns (color (R,3), alpha (R,)) composited front-to-back."""
     r = o.shape[0]
     color = jnp.zeros((r, 3), jnp.float32)
     trans = jnp.ones((r,), jnp.float32)  # remaining transmittance
     t_min = jnp.zeros((r,), jnp.float32)
+    stopped = jnp.zeros((r,), bool)
     for _ in range(layers):
-        t, valid = trace_fn(o, d, t_min, t_far)
-        rgb, a = shade_fn(t, valid)
-        w = trans * a * valid.astype(jnp.float32)
+        t, valid, *aux = trace_fn(o, d, t_min, t_far)
+        valid = valid & ~stopped
+        shaded = shade_fn(t, valid, *aux)
+        rgb, a = shaded[:2]
+        stop = shaded[2] if len(shaded) > 2 else jnp.zeros((r,), bool)
+        take = valid & ~stop
+        w = trans * a * take.astype(jnp.float32)
         color = color + rgb * w[..., None]
-        trans = jnp.where(valid, trans * (1.0 - a), trans)
-        t_min = jnp.where(valid, t + 1e-4, t_min)
+        trans = jnp.where(take, trans * (1.0 - a), trans)
+        t_min = jnp.where(take, t_min + t + 1e-4, t_min)
+        stopped = stopped | (valid & stop)
     return color, 1.0 - trans
 
 

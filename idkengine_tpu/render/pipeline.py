@@ -33,6 +33,7 @@ from . import ssao as ssao_mod
 from . import ssr as ssr_mod
 from . import taa as taa_mod
 from . import tonemap as tonemap_mod
+from . import upscale as upscale_mod
 from . import volumetric as vol_mod
 from .camera import Camera
 from .gbuffer import render_gbuffer
@@ -57,6 +58,13 @@ class DeferredSettings2:
     use_classifier: bool = False  # adaptive-rate map (ref: VRS #29)
     shadows: str = "ray_traced"  # none | pcf | ray_traced (ref modes)
     shadow_map_res: int = 256
+    # render-scale mode (the FSR2 slot, ref: RasterPipeline.cs:611-624):
+    # render the whole frame graph at (H/render_scale, W/render_scale) and
+    # TAAU-resolve to display resolution. 1 = native + plain TAA.
+    render_scale: int = 1
+    upscale: upscale_mod.UpscaleSettings = field(
+        default_factory=upscale_mod.UpscaleSettings)
+    ssr: ssr_mod.SsrSettings = field(default_factory=ssr_mod.SsrSettings)
     vxgi: VxgiSettings = field(default_factory=VxgiSettings)
     deferred: deferred_mod.DeferredSettings = field(
         default_factory=deferred_mod.DeferredSettings
@@ -108,13 +116,22 @@ class DeferredPipeline:
     def render_frame(self, camera: Camera, time: float = 0.0) -> jnp.ndarray:
         """Returns the tonemapped (H,W,3) uint8-ready [0,1] image."""
         s = self.settings
-        w, h = self.width, self.height
+        rs = max(1, int(s.render_scale))
+        if rs > 1:
+            assert self.width % rs == 0 and self.height % rs == 0, (
+                "render_scale must divide the display resolution",
+                self.width, self.height, rs)
+        # render-scale mode: the WHOLE frame graph runs at render res and
+        # the TAAU resolve reconstructs display res (the FSR2 role, ref:
+        # RasterPipeline.cs:611-624) — that's where the pass saves its time
+        w, h = self.width // rs, self.height // rs
         lights = {k: jnp.asarray(v) for k, v in self.db.lights.soa().items() if k != "count"}
         n_lights = len(self.db.lights.lights)
         scene = self.db.device_scene
 
         # TAA jitter (Halton, ref: RasterPipeline.cs:266-299)
-        jitter = mu.halton_2d(16)[self.frame % 16] if s.use_taa else np.array([0.5, 0.5])
+        jitter = (mu.halton_2d(16)[self.frame % 16]
+                  if (s.use_taa or rs > 1) else np.array([0.5, 0.5]))
         cam_params = camera.ray_params(w, h)
         prev_cam = self._prev_cam_params or cam_params
 
@@ -175,27 +192,42 @@ class DeferredPipeline:
         # depth-peeled OIT over the opaque result (ref: RecordTransparent/
         # ResolveTransparent; layers arrive depth-ordered by construction)
         if s.use_oit:
-            color = self._composite_transparency(color, cam_params, jitter)
+            color = self._composite_transparency(
+                color, cam_params, jitter, lights, n_lights)
 
-        # SSR merge (ref: SSR then MergeTextures)
+        # SSR merge (ref: SSR then MergeTextures); misses fall back to the
+        # sky along the reflected direction (ref: SSR/compute.glsl:79-81)
         if s.use_ssr:
-            refl, ok = ssr_mod.ssr(color, gbuf.position, gbuf.normal, gbuf.depth, cam_params)
-            f = (1.0 - gbuf.roughness[..., None]) * ok[..., None]
+            refl, ok, _t = ssr_mod.ssr(
+                color, gbuf.position, gbuf.normal, gbuf.depth, cam_params,
+                settings=s.ssr)
+            f = (1.0 - gbuf.roughness[..., None]) * gbuf.mask[..., None]
             color = color + refl * f * 0.5
 
-        # volumetric light
+        # volumetric light, shadow-traced per march sample (ref:
+        # VolumetricLight/compute.glsl:79 tests occlusion every step)
         if s.use_volumetric and n_lights > 0:
+            vol_occ = self._occluded if s.shadows != "none" else None
             color = color + vol_mod.volumetric_light(
                 gbuf.position, gbuf.depth, cam_params["origin"],
-                lights["pos"], lights["radiance"], n_lights, None,
+                lights["pos"], lights["radiance"], n_lights, vol_occ,
             )
 
         # bloom
         if s.use_bloom:
             color = color + bloom_mod.bloom(color, s.bloom)
 
-        # TAA resolve
-        if s.use_taa:
+        # TAA resolve (native res) or TAAU upscale resolve (render-scale
+        # mode: reconstruct display res from the jittered low-res frames)
+        if rs > 1:
+            vel_hr = upscale_mod.upsample_bilinear(gbuf.velocity, rs) * rs
+            up_set = s.upscale if s.upscale.scale == rs else \
+                replace(s.upscale, scale=rs)
+            self.history = upscale_mod.taau_resolve(
+                color, self.history, vel_hr,
+                (float(jitter[0]) - 0.5, float(jitter[1]) - 0.5), up_set)
+            color = self.history[..., :3]
+        elif s.use_taa:
             if self.history is None:
                 self.history = color
             color = taa_mod.taa_resolve(
@@ -213,42 +245,69 @@ class DeferredPipeline:
         self.frame += 1
         return tonemap_mod.tonemap(color, s.tonemap)
 
-    def _composite_transparency(self, opaque_color, cam_params, jitter):
-        """Depth-peel transparent surfaces along camera rays and composite
-        front-to-back over the opaque shading (render/oit.py)."""
+    def _composite_transparency(self, opaque_color, cam_params, jitter,
+                                lights, n_lights):
+        """Depth-peel transparent surfaces along camera rays, shade EVERY
+        layer with the full per-light loop + shadows (ref:
+        RecordTransparent/fragment.glsl:77-93 — transparent fragments get
+        the same lighting as opaque ones), and composite front-to-back over
+        the opaque shading (render/oit.py)."""
+        from ..utils.compression import decompress_normal
         from .camera import generate_rays
+        from .pathtracer import _sample_atlas
 
         from . import oit as oit_mod
 
-        w, h = self.width, self.height
+        s = self.settings
+        h, w = opaque_color.shape[:2]  # render res (render-scale aware)
         o, d = generate_rays(cam_params, w, h, jnp.asarray(jitter, jnp.float32))
         mats = self.mats
         scene = self.db.device_scene
         trans_of = mats["transmission"]
+        occ_fn = self._occluded if s.shadows == "ray_traced" and n_lights else None
 
-        r = w * h
-        color = jnp.zeros((r, 3), jnp.float32)
-        transmit = jnp.ones((r,), jnp.float32)
-        t_min = jnp.zeros((r,), jnp.float32)
-        t_far = jnp.full((r,), 3.4e38, jnp.float32)
-        for _ in range(self.settings.oit_layers):
-            hit = self._closest(o + d * t_min[..., None], d, t_far)
-            valid = hit.slot >= 0
-            mid = scene.tri_mat[jnp.maximum(hit.slot, 0)]
+        def trace(o_, d_, t_min, t_far):
+            hit = self._closest(o_ + d_ * t_min[..., None], d_, t_far)
+            p = o_ + d_ * (t_min + hit.t)[..., None]
+            return hit.t, hit.slot >= 0, p, hit.slot, hit.u, hit.v
+
+        def shade(t, valid, p, slot_raw, u, v):
+            slot = jnp.maximum(slot_raw, 0)
+            mid = scene.tri_mat[slot]
             base = mats["base_color"][mid]
+            w_b = 1.0 - u - v
+            uv = (scene.tri_uv[slot, 0] * w_b[..., None]
+                  + scene.tri_uv[slot, 1] * u[..., None]
+                  + scene.tri_uv[slot, 2] * v[..., None])
+            tex = _sample_atlas(mats["atlas"], mats["base_layer"][mid], uv)
+            alb = base[:, :3] * tex[..., :3]
             a = jnp.where(
                 trans_of[mid] > 0.0, 1.0 - trans_of[mid],
-                jnp.where(base[:, 3] < 1.0, base[:, 3], 1.0),
+                jnp.where(base[:, 3] < 1.0, base[:, 3] * tex[..., 3], 1.0),
             )
-            opaque_here = a >= 0.999
-            # opaque hits end the peel for that ray — the opaque pass
-            # already shaded them
-            wgt = transmit * jnp.where(valid & ~opaque_here, a, 0.0)
-            color = color + base[:, :3] * wgt[..., None]
-            transmit = jnp.where(valid & ~opaque_here, transmit * (1.0 - a), transmit)
-            t_min = jnp.where(valid & ~opaque_here, t_min + hit.t + 1e-4, t_min)
-            t_far = jnp.where(valid & opaque_here, 0.0, t_far)
-        alpha = 1.0 - transmit
+            # opaque hits end the peel WITHOUT compositing — the opaque
+            # pass already shaded them
+            stop = a >= 0.999
+            n0 = decompress_normal(scene.tri_n[slot, 0], jnp)
+            n1 = decompress_normal(scene.tri_n[slot, 1], jnp)
+            n2 = decompress_normal(scene.tri_n[slot, 2], jnp)
+            ns = n0 * w_b[..., None] + n1 * u[..., None] + n2 * v[..., None]
+            ns = ns / jnp.maximum(
+                jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
+            ns = jnp.where((jnp.sum(ns * d, axis=-1) > 0.0)[..., None], -ns, ns)
+            mr = _sample_atlas(mats["atlas"], mats["mr_layer"][mid], uv)
+            met = mats["metallic"][mid] * mr[..., 2]
+            rough = mats["roughness"][mid] * mr[..., 1]
+            rgb = deferred_mod.shade_points(
+                p, ns, alb, met, rough, cam_params["origin"], lights,
+                n_lights, occ_fn, s.deferred, frame=self.frame)
+            em = _sample_atlas(mats["atlas"], mats["emissive_layer"][mid], uv)
+            rgb = rgb + mats["emissive"][mid] * em[..., :3]
+            return rgb, a, stop
+
+        color, alpha = oit_mod.peel_layers(
+            trace, shade, o, d, jnp.full((w * h,), 3.4e38, jnp.float32),
+            layers=s.oit_layers)
         return oit_mod.composite_over(
             color.reshape(h, w, 3), alpha.reshape(h, w), opaque_color
         )

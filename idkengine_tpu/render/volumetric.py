@@ -30,14 +30,18 @@ def _hg_phase(cos_t, g):
     )
 
 
-@partial(jax.jit, static_argnames=("settings", "n_lights_arr"))
+@partial(jax.jit, static_argnames=("settings", "n_lights_arr", "occlusion_fn"))
 def volumetric_light(gbuf_position, gbuf_depth, cam_origin, lights_pos,
                      lights_radiance, n_lights_arr,
-                     occludes, settings: VolumetricSettings = VolumetricSettings()):
+                     occlusion_fn=None,
+                     settings: VolumetricSettings = VolumetricSettings()):
     """(H,W,3) in-scattered light along each view ray.
 
-    occludes: (H,W,S) bool occlusion per march sample toward the light, or
-    None for unshadowed god rays. n_lights_arr: static int count."""
+    occlusion_fn(o, d, t_max) -> bool occluded: a shadow trace evaluated at
+    EVERY march sample toward each light (ref: VolumetricLight/compute.glsl
+    :79 tests the shadow map per step — blockers carve visible shaft
+    boundaries out of the god rays). None = unshadowed.
+    n_lights_arr: static int count."""
     h, w = gbuf_position.shape[:2]
     s = settings
     ds = s.downscale
@@ -58,9 +62,16 @@ def volumetric_light(gbuf_position, gbuf_depth, cam_origin, lights_pos,
             to_l = lights_pos[li] - p
             d2 = jnp.maximum(jnp.sum(to_l * to_l, axis=-1), 1e-4)
             ldir = to_l / jnp.sqrt(d2)[..., None]
+            vis = 1.0
+            if occlusion_fn is not None:
+                occ = occlusion_fn(
+                    p.reshape(-1, 3), ldir.reshape(-1, 3),
+                    jnp.sqrt(d2).reshape(-1) - 1e-3)
+                vis = 1.0 - occ.reshape(hh, ww).astype(jnp.float32)
             cos_t = jnp.sum(vdir * ldir, axis=-1)
             phase = _hg_phase(cos_t, s.phase_g)
-            contrib = lights_radiance[li] * (phase * s.scattering / d2)[..., None]
+            contrib = lights_radiance[li] * (
+                phase * s.scattering * vis / d2)[..., None]
             out = out + trans * contrib * seg[..., None]
         trans = trans * jnp.exp(-(s.absorbance + s.scattering) * seg)[..., None]
 
