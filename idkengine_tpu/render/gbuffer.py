@@ -31,9 +31,11 @@ class GBuffer(NamedTuple):
 
 
 def render_gbuffer(trace_fn, scene, mats, cam_params, prev_cam_params,
-                   width: int, height: int, jitter=None):
+                   width: int, height: int, jitter=None, mip_bias: float = 0.0):
     """One G-buffer pass. trace_fn(o, d, t_max) -> Hit; jitter (2,) subpixel
-    (TAA Halton jitter, ref: RasterPipeline.cs:266-299)."""
+    (TAA Halton jitter, ref: RasterPipeline.cs:266-299); mip_bias: texture
+    LOD bias (TAA/TAAU recommend log2(render/display)-0.5,
+    ref: TAAResolve.cs:76-80)."""
     r = width * height
     jit = jnp.zeros((2,)) + (jitter if jitter is not None else 0.5)
     o, d = generate_rays(cam_params, width, height, jnp.broadcast_to(jit, (r, 2)))
@@ -58,13 +60,24 @@ def render_gbuffer(trace_fn, scene, mats, cam_params, prev_cam_params,
         + scene.tri_uv[slot, 2] * v[..., None]
     )
     mat_id = scene.tri_mat[slot]
+    # ray-cone texture LOD: pixel footprint at the hit distance, converted
+    # to texels via the triangle's uv density, trilinear across the mips
+    du1 = scene.tri_uv[slot, 1] - scene.tri_uv[slot, 0]
+    du2 = scene.tri_uv[slot, 2] - scene.tri_uv[slot, 0]
+    uv_area = 0.5 * jnp.abs(du1[..., 0] * du2[..., 1] - du2[..., 0] * du1[..., 1])
+    world_area = 0.5 * jnp.linalg.norm(
+        jnp.cross(scene.tri_e1[slot], scene.tri_e2[slot]), axis=-1)
+    uvd = jnp.sqrt(uv_area / jnp.maximum(world_area, 1e-20))
+    cone0 = 2.0 * jnp.linalg.norm(cam_params["up"]) / height
+    size_f = float(mats["atlas"].shape[1])
+    lod = jnp.log2(jnp.maximum(hit.t * cone0 * uvd * size_f, 1.0)) + mip_bias
     base = mats["base_color"][mat_id][..., :3]
-    tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
+    tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv, lod)
     albedo = base * tex[..., :3]
-    mr = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
+    mr = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv, lod)
     metallic = mats["metallic"][mat_id] * mr[..., 2]
     roughness = mats["roughness"][mat_id] * mr[..., 1]
-    em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
+    em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv, lod)
     emissive = mats["emissive"][mat_id] * em_tex[..., :3]
 
     pos = o + d * jnp.minimum(hit.t, 1e8)[..., None]

@@ -57,6 +57,9 @@ class PathTracerSettings:
     sky_strength: float = 1.0
     use_env_map: bool = False
     max_trace_steps: int = 1 << 30
+    # texture LOD bias added to the ray-cone mip level (negative = sharper;
+    # TAA/TAAU callers set log2(render/display)-0.5, ref: TAAResolve.cs:76-80)
+    mip_bias: float = 0.0
 
 
 def _sky(d, settings: PathTracerSettings, env_map):
@@ -73,24 +76,47 @@ def _sky(d, settings: PathTracerSettings, env_map):
     return (hor * (1.0 - t) + zen * t) * settings.sky_strength
 
 
-def _sample_atlas(atlas, layer, uv):
-    """Bilinear sample from the RGBA8 atlas. layer (R,), uv (R,2). Returns
-    (R,4) float in [0,1]; layer<0 returns ones (factor-only materials)."""
+def _sample_atlas(atlas, layer, uv, lod=None):
+    """Bilinear/trilinear sample from the RGBA8 atlas. layer (R,), uv (R,2),
+    lod: optional (R,) texture LOD — trilinear across the packed mip strip
+    (scene/materials._build_mip_strip layout; ref: the reference's textures
+    carry BC mip chains, ModelLoader.cs:922-1111, sampled trilinear by the
+    hardware). Returns (R,4) float in [0,1]; layer<0 returns ones
+    (factor-only materials)."""
     size = atlas.shape[1]
+    has_mips = atlas.shape[2] == 2 * size
     l = jnp.maximum(layer, 0)
-    u = (uv[..., 0] % 1.0) * (size - 1)
-    v = (uv[..., 1] % 1.0) * (size - 1)
-    x0 = jnp.floor(u).astype(jnp.int32)
-    y0 = jnp.floor(v).astype(jnp.int32)
-    x1 = jnp.minimum(x0 + 1, size - 1)
-    y1 = jnp.minimum(y0 + 1, size - 1)
-    fx = (u - x0)[..., None]
-    fy = (v - y0)[..., None]
-    c00 = atlas[l, y0, x0].astype(jnp.float32)
-    c01 = atlas[l, y0, x1].astype(jnp.float32)
-    c10 = atlas[l, y1, x0].astype(jnp.float32)
-    c11 = atlas[l, y1, x1].astype(jnp.float32)
-    c = (c00 * (1 - fx) + c01 * fx) * (1 - fy) + (c10 * (1 - fx) + c11 * fx) * fy
+
+    def tap(k):
+        """One bilinear tap at dynamic mip level k (R,) int32."""
+        scale = size >> k
+        off_x = jnp.where(k == 0, 0, size)
+        off_y = jnp.where(k == 0, 0, size - 2 * scale)
+        u = (uv[..., 0] % 1.0) * (scale - 1).astype(jnp.float32)
+        v = (uv[..., 1] % 1.0) * (scale - 1).astype(jnp.float32)
+        x0 = jnp.floor(u).astype(jnp.int32)
+        y0 = jnp.floor(v).astype(jnp.int32)
+        x1 = jnp.minimum(x0 + 1, scale - 1)
+        y1 = jnp.minimum(y0 + 1, scale - 1)
+        fx = (u - x0)[..., None]
+        fy = (v - y0)[..., None]
+        c00 = atlas[l, off_y + y0, off_x + x0].astype(jnp.float32)
+        c01 = atlas[l, off_y + y0, off_x + x1].astype(jnp.float32)
+        c10 = atlas[l, off_y + y1, off_x + x0].astype(jnp.float32)
+        c11 = atlas[l, off_y + y1, off_x + x1].astype(jnp.float32)
+        return (c00 * (1 - fx) + c01 * fx) * (1 - fy) \
+            + (c10 * (1 - fx) + c11 * fx) * fy
+
+    if lod is None or not has_mips:
+        c = tap(jnp.zeros_like(l))
+    else:
+        from ..scene.materials import ATLAS_MIPS
+
+        lodc = jnp.clip(lod, 0.0, ATLAS_MIPS - 1.0)
+        k0 = jnp.floor(lodc).astype(jnp.int32)
+        k1 = jnp.minimum(k0 + 1, ATLAS_MIPS - 1)
+        f = (lodc - k0)[..., None]
+        c = tap(k0) * (1.0 - f) + tap(k1) * f
     c = c / 255.0
     return jnp.where(layer[..., None] >= 0, c, jnp.ones_like(c))
 
@@ -240,6 +266,12 @@ class PathTracer:
             attr[:, 27] = compress_normal(bit.astype(np.float32)).view(np.float32)
             attr[:, 28] = alphas_np[mat_np]  # alpha factor
             attr[:, 29] = cutoffs_np[mat_np]
+            # uv density (texture uv units per world unit): converts the
+            # ray-cone world footprint to texels for mip LOD selection
+            uv_area = 0.5 * np.abs(det)
+            world_area = 0.5 * np.linalg.norm(np.cross(e1np, e2np), axis=-1)
+            attr[:, 30] = np.sqrt(
+                uv_area / np.maximum(world_area, 1e-20)).astype(np.float32)
             return attr
 
         parts = [_pack_attr(scene.tri_uv, scene.tri_gn, scene.tri_n,
@@ -332,6 +364,16 @@ class PathTracer:
         aov_normal = jnp.zeros((r, 3), jnp.float32)
         aov_depth = jnp.zeros((r,), jnp.float32)
         rays_traced = jnp.zeros((), jnp.float32)  # closest + shadow rays
+
+        # ray-cone footprint for texture LOD (trilinear mip sampling): the
+        # cone starts one pixel wide and widens with accumulated distance
+        # and surface roughness at each bounce. Only tracked for textured
+        # scenes (two extra sort operands otherwise wasted).
+        track_cone = self._has_textures
+        if track_cone:
+            cone0 = 2.0 * jnp.linalg.norm(cam_params["up"]) / h
+            t_acc = jnp.zeros((r,), jnp.float32)
+            spread = jnp.full((r,), cone0, jnp.float32)
 
         # steered traversal for VMEM-segmented scenes: the chained fallback
         # inside the steered trace sweeps the (finer) wave segments, so the
@@ -529,11 +571,17 @@ class PathTracer:
                        flags, state.astype(jnp.int32), pixel_of)
                 if rd is not None:
                     ops = ops + (rd,)
+                if track_cone:
+                    ops = ops + (t_acc, spread)
                 out_ops = jax.lax.sort(ops, num_keys=1, is_stable=False)
                 (_, ox_, oy_, oz_, dx_, dy_, dz_, r0, r1, r2_, t0, t1, t2,
                  flags, st_, pixel_of) = out_ops[:16]
+                nxt = 16
                 if rd is not None:
-                    rd = out_ops[16]
+                    rd = out_ops[nxt]
+                    nxt += 1
+                if track_cone:
+                    t_acc, spread = out_ops[nxt], out_ops[nxt + 1]
                 o = jnp.stack([ox_, oy_, oz_], -1)
                 d = jnp.stack([dx_, dy_, dz_], -1)
                 radiance = jnp.stack([r0, r1, r2_], -1)
@@ -628,6 +676,15 @@ class PathTracer:
                 [af[0] * w_b + af[2] * u_b + af[4] * v_b,
                  af[1] * w_b + af[3] * u_b + af[5] * v_b], -1)
             mat_id = af[25].astype(jnp.int32)
+            lod = None
+            if track_cone:
+                # ray-cone LOD: world footprint -> uv texels via the
+                # triangle's uv density (attr ch 30), log2 to mip level
+                # (ref: textures carry mips + TAA recommends a lod bias,
+                # TAAResolve.cs:76-80; here the cone replaces hw derivatives)
+                size_f = float(mats["atlas"].shape[1])
+                texel = spread * (t_acc + hit.t) * af[30] * size_f
+                lod = jnp.log2(jnp.maximum(texel, 1.0)) + s.mip_bias
             if self._has_normal_maps:
                 # tangent-space normal mapping (ref: Surface.glsl:96-118):
                 # TBN from the per-triangle UV-derived frame, z along the
@@ -649,7 +706,7 @@ class PathTracer:
                 bit = bit - ns * jnp.sum(bit * ns, axis=-1, keepdims=True)
                 bit = bit / jnp.maximum(
                     jnp.linalg.norm(bit, axis=-1, keepdims=True), 1e-12)
-                ntex = _sample_atlas(mats["atlas"], nl_, uv)
+                ntex = _sample_atlas(mats["atlas"], nl_, uv, lod)
                 ntan = ntex[..., :3] * 2.0 - 1.0
                 pert = (tan * ntan[..., 0:1] + bit * ntan[..., 1:2]
                         + ns * jnp.maximum(ntan[..., 2:3], 0.05))
@@ -667,12 +724,12 @@ class PathTracer:
             ior = af[21]
             absorb = jnp.stack([af[22], af[23], af[24]], -1)
             if self._has_textures:
-                tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv)
+                tex = _sample_atlas(mats["atlas"], mats["base_layer"][mat_id], uv, lod)
                 albedo = albedo * tex[..., :3]
-                mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv)
+                mr_tex = _sample_atlas(mats["atlas"], mats["mr_layer"][mat_id], uv, lod)
                 metallic = metallic * mr_tex[..., 2]
                 roughness = roughness * mr_tex[..., 1]
-                em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv)
+                em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv, lod)
                 emissive = emissive * em_tex[..., :3]
 
             if bounce == 0:
@@ -779,6 +836,9 @@ class PathTracer:
             )
             inside = jnp.where(hit_tri & surf.is_transmissive, ~inside, inside)
             prev_slot = jnp.where(hit_tri, hit.slot, prev_slot)
+            if track_cone:
+                t_acc = t_acc + jnp.where(hit_tri, hit.t, 0.0)
+                spread = spread + jnp.where(hit_tri, 0.35 * roughness, 0.0)
             # delta-like only when the specular lobe is mirror-sharp; rough
             # specular is covered by the NEE GGX term above
             last_delta = (surf.is_specular & (roughness < 0.15)) | surf.is_transmissive

@@ -143,10 +143,13 @@ class DeferredPipeline:
                 occlusion_fn=self._occluded,
             )
 
-        # G-buffer (primary visibility)
+        # G-buffer (primary visibility); TAA/TAAU bias the texture LOD so
+        # the temporal resolve can recover the sharper detail
+        # (ref: TAAResolve.cs:76-80)
+        bias = taa_mod.mip_bias(w, self.width) if (rs > 1 or s.use_taa) else 0.0
         gbuf = render_gbuffer(
             self._closest, scene, self.mats, cam_params, prev_cam, w, h,
-            jitter=jnp.asarray(jitter, jnp.float32),
+            jitter=jnp.asarray(jitter, jnp.float32), mip_bias=bias,
         )
 
         # SSAO

@@ -17,6 +17,29 @@ from .model import Model
 log = get_logger(__name__)
 
 ATLAS_SIZE = 512  # each layer is SIZE x SIZE RGBA8
+ATLAS_MIPS = 7  # mip levels packed per layer (512 .. 8)
+
+
+def _build_mip_strip(layer: np.ndarray) -> np.ndarray:
+    """Pack a (S,S,4) uint8 layer + its box-filtered mip chain into a
+    (S, 2S, 4) strip: mip0 on the left half; mip k>=1 at x in [S, S+S/2^k),
+    y offset S - 2*(S>>k). The reference transcodes full BC mip chains
+    (ref: ModelLoader.cs:922-1111); single-level sampling aliases under
+    minification and starves TAA/TAAU of stable detail."""
+    s = layer.shape[0]
+    strip = np.zeros((s, 2 * s, 4), np.uint8)
+    strip[:, :s] = layer
+    cur = layer.astype(np.uint16)
+    for k in range(1, ATLAS_MIPS):
+        cur = (
+            cur[0::2, 0::2].astype(np.uint32) + cur[0::2, 1::2]
+            + cur[1::2, 0::2] + cur[1::2, 1::2] + 2
+        ) // 4
+        sk = s >> k
+        y0 = s - 2 * sk
+        strip[y0:y0 + sk, s:s + sk] = cur.astype(np.uint8)
+        cur = cur.astype(np.uint16)
+    return strip
 
 
 class MaterialTable:
@@ -103,8 +126,8 @@ class MaterialTable:
         return layer
 
     def atlas_layer(self, layer: int) -> np.ndarray:
-        """One packed atlas layer (SIZE, SIZE, 4) uint8."""
-        return self._atlas_layers[layer]
+        """One packed atlas layer incl. its mip strip (SIZE, 2*SIZE, 4)."""
+        return _build_mip_strip(self._atlas_layers[layer])
 
     def soa(self) -> dict[str, np.ndarray]:
         if not self.base_color:
@@ -114,9 +137,9 @@ class MaterialTable:
             model.materials = [Material(name="default")]
             self.add_model(model)
         atlas = (
-            np.stack(self._atlas_layers)
+            np.stack([_build_mip_strip(a) for a in self._atlas_layers])
             if self._atlas_layers
-            else np.zeros((1, ATLAS_SIZE, ATLAS_SIZE, 4), np.uint8)
+            else np.zeros((1, ATLAS_SIZE, 2 * ATLAS_SIZE, 4), np.uint8)
         )
         return {
             "base_color": np.stack(self.base_color),

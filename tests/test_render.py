@@ -948,3 +948,96 @@ def test_render_scale_taau_pipeline_mode():
     assert np.isfinite(out).all() and out.std() > 0
     err = float(np.abs(out - ref).mean())
     assert err < 0.06, f"TAAU output too far from native render: {err}"
+
+
+def test_mip_atlas_trilinear_reduces_minification_aliasing():
+    """Minified sampling of a high-frequency checker: mip-level taps average
+    toward gray with low variance; single-level (mip0) sampling aliases
+    (near-binary values). Also checks the strip layout decodes every level
+    and trilinear blends between adjacent levels (ref: the reference's BC
+    mip chains, ModelLoader.cs:922-1111)."""
+    from idkengine_tpu.render.pathtracer import _sample_atlas
+    from idkengine_tpu.scene.materials import ATLAS_SIZE, _build_mip_strip
+
+    s = ATLAS_SIZE
+    cells = 64  # 8px checker cells
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    chk = (((yy // (s // cells)) + (xx // (s // cells))) % 2 * 255).astype(np.uint8)
+    layer = np.stack([chk] * 4, -1)
+    atlas = jnp.asarray(_build_mip_strip(layer)[None])
+    assert atlas.shape == (1, s, 2 * s, 4)
+
+    rs = np.random.RandomState(0)
+    uv = jnp.asarray(rs.rand(4096, 2).astype(np.float32))
+    lay = jnp.zeros((4096,), jnp.int32)
+    c0 = np.asarray(_sample_atlas(atlas, lay, uv))[:, 0]
+    c5 = np.asarray(_sample_atlas(atlas, lay, uv, jnp.full((4096,), 5.0)))[:, 0]
+    assert abs(c0.mean() - 0.5) < 0.05 and abs(c5.mean() - 0.5) < 0.03
+    assert c0.std() > 0.3, f"mip0 checker should alias: std {c0.std()}"
+    assert c5.std() < 0.05, f"mip5 should be ~flat gray: std {c5.std()}"
+    # trilinear continuity: lod 2.5 lies between the pure level samples
+    c2 = np.asarray(_sample_atlas(atlas, lay, uv, jnp.full((4096,), 2.0)))[:, 0]
+    c3 = np.asarray(_sample_atlas(atlas, lay, uv, jnp.full((4096,), 3.0)))[:, 0]
+    c25 = np.asarray(_sample_atlas(atlas, lay, uv, jnp.full((4096,), 2.5)))[:, 0]
+    np.testing.assert_allclose(c25, 0.5 * (c2 + c3), atol=1e-5)
+    # layer<0 still returns ones
+    ones = np.asarray(_sample_atlas(atlas, jnp.full((8,), -1, jnp.int32),
+                                    uv[:8], jnp.full((8,), 2.0)))
+    np.testing.assert_allclose(ones, 1.0)
+
+
+def test_mip_lod_in_path_tracer_kills_floor_shimmer():
+    """Checkerboard floor at a grazing view: the distant half of the image
+    must converge to flat gray with ray-cone mip sampling, but alias with a
+    mip0-only atlas (the round-2 state)."""
+    from idkengine_tpu.render import PathTracer, PathTracerSettings
+    from idkengine_tpu.scene.model import (
+        Material, MeshPrimitive, Model, Node, Texture)
+    from idkengine_tpu.scene.procedural import make_quad
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    s = 256
+    yy, xx = np.meshgrid(np.arange(s), np.arange(s), indexing="ij")
+    chk = (((yy // 4) + (xx // 4)) % 2 * 255).astype(np.uint8)
+    tex = Texture(name="chk", data=np.stack([chk] * 3 + [np.full_like(chk, 255)], -1),
+                  is_srgb=False)
+    v, idx = make_quad([-50, 0, -2], [50, 0, -2], [50, 0, 200], [-50, 0, 200])
+    prim = MeshPrimitive(positions=v.astype(np.float32),
+                         indices=idx.astype(np.uint32), material=0)
+    prim.uvs = (v[:, [0, 2]] / 2.0).astype(np.float32)  # dense tiling
+    prim.ensure_normals()
+    m = Model(primitives=[prim], nodes=[Node(mesh_primitives=[0])],
+              materials=[Material(name="floor", base_color_texture=0,
+                                  roughness=1.0)],
+              textures=[tex])
+    m.root_nodes.append(0)
+    db = SceneDatabase()
+    db.add_model(m)
+    scene = db.build()
+    mats = db.materials.soa()
+    cam = Camera(position=np.array([0, 1.5, -4], np.float32), yaw=90.0,
+                 pitch=-10.0, fov_y=55.0)
+
+    def render(mats_d):
+        pt = PathTracer(scene, mats_d, db.lights.soa(), 96, 64,
+                        PathTracerSettings(ray_depth=1, sky_strength=1.0,
+                                           sky_zenith=(1, 1, 1),
+                                           sky_horizon=(1, 1, 1), nee=False,
+                                           light_spheres=False,
+                                           use_packet_tracer=False))
+        pt.render_frame(cam)
+        alb = np.asarray(pt._last_aovs[0]).reshape(64, 96, 3)
+        dep = np.asarray(pt._last_aovs[2]).reshape(64, 96)
+        return alb, dep
+
+    alb_mip, dep = render(mats)
+    mats0 = dict(mats)
+    mats0["atlas"] = mats["atlas"][:, :, :mats["atlas"].shape[1]]  # mip0 only
+    alb_flat, _ = render(mats0)
+    far = (dep > 30.0) & (dep < 1e8)
+    assert far.sum() > 200
+    std_mip = alb_mip[far][:, 0].std()
+    std_flat = alb_flat[far][:, 0].std()
+    assert std_flat > 2.5 * std_mip, (
+        f"mip sampling should kill distant shimmer: {std_mip} vs {std_flat}")
+    assert abs(alb_mip[far].mean() - alb_flat[far].mean()) < 0.12
