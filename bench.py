@@ -85,9 +85,9 @@ def run_one():
         sky_strength=1.0,
         use_packet_tracer=bool(int(os.environ.get("IDK_BENCH_PACKET", "1"))),
     )
-    # Traversal-path fallback chain: steered (WaveSet) -> chained segments
-    # (boxes-only sort key) -> XLA trace. A compile/VMEM failure downgrades
-    # instead of killing the bench.
+    # Traversal-path fallback chain: two-phase (ray,leaf) lists -> steered
+    # (WaveSet) -> chained segments (boxes-only sort key) -> XLA trace. A
+    # compile/VMEM failure downgrades instead of killing the bench.
     variants = [
         ("steered", dict(packet_scene=db.packet_scene,
                          wave_boxes=db.wave_set())),
@@ -96,13 +96,23 @@ def run_one():
                                      (db.wave_seg_min, db.wave_seg_max)))),
         ("xla", dict(packet_scene=None, wave_boxes=None)),
     ]
+    ws = db.wave_set()
+    if (int(os.environ.get("IDK_BENCH_TP", "0"))
+            and ws is not None and ws.first_stack is not None):
+        variants.insert(0, ("two_phase", dict(
+            packet_scene=db.packet_scene, wave_boxes=ws,
+            settings_over=dict(use_two_phase=True))))
     if not settings.use_packet_tracer:
         variants = variants[-1:]
     pt = None
     path_name = "steered"
     for path_name, kw in variants:
         try:
-            pt = PathTracer(scene, mats, lights, width, height, settings, **kw)
+            kw = dict(kw)
+            over = kw.pop("settings_over", None)
+            st = (settings if over is None
+                  else __import__("dataclasses").replace(settings, **over))
+            pt = PathTracer(scene, mats, lights, width, height, st, **kw)
             pt.render_frame(cam)  # warmup / compile
             _ = float(pt.last_rays_traced)
             break

@@ -102,6 +102,10 @@ class PacketTables:
     plan_wrow: np.ndarray | None = None  # (K,) row per real wide-child slot
     plan_wbase: np.ndarray | None = None  # (K,) lane base per wide-child slot
     plan_wnode: np.ndarray | None = None  # (K,) collapsed node id per slot
+    # per-leaf-slot side tables (two-phase traversal, ops/two_phase.py):
+    # global first tri slot + tri count of leaf slot s
+    leaf_first: np.ndarray | None = None  # (L,) i32
+    leaf_count: np.ndarray | None = None  # (L,) i32
 
     def refresh(self, nodes: np.ndarray, slot_tri_ids: np.ndarray,
                 vertices: np.ndarray, indices: np.ndarray):
@@ -373,6 +377,8 @@ def _tables_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
         plan_c0=c0, plan_c1=c1, plan_row=row, plan_off=off,
         plan_leaf_slot=slots, plan_leaf_row=rows_l, plan_leaf_base=base_l,
         collapse_map=collapse_map,
+        leaf_first=firsts[leaf_ids].astype(np.int32),
+        leaf_count=counts[leaf_ids].astype(np.int32),
     )
 
 
@@ -490,6 +496,8 @@ def _tables_wide_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
     leaf_geo, plan_slot, plan_lrow, plan_lbase = _pack_leaves(
         firsts[leaf_ids], counts[leaf_ids], slot_tri_ids, vertices, indices)
 
+    lf = firsts[leaf_ids].astype(np.int32)
+    lc = counts[leaf_ids].astype(np.int32)
     if counts[0] > 0:  # degenerate: whole (sub)tree is one leaf
         pairs = np.zeros((1, 128), np.float32)
         pairs[0, 0] = meta0_leaf[0]
@@ -503,6 +511,7 @@ def _tables_wide_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
             plan_wnode=np.zeros(0, np.int64),
             plan_leaf_slot=plan_slot, plan_leaf_row=plan_lrow,
             plan_leaf_base=plan_lbase, collapse_map=collapse_map,
+            leaf_first=lf, leaf_count=lc,
         )
 
     kids, axis, order, wide_meta0_of = _collapse_wide(nodes)
@@ -539,6 +548,7 @@ def _tables_wide_from_collapsed(nodes: np.ndarray, collapse_map: np.ndarray,
         plan_wrow=rows_w, plan_wbase=base_w, plan_wnode=k_ids,
         plan_leaf_slot=plan_slot, plan_leaf_row=plan_lrow,
         plan_leaf_base=plan_lbase, collapse_map=collapse_map,
+        leaf_first=lf, leaf_count=lc,
     )
 
 
@@ -1318,10 +1328,14 @@ class WaveSet:
     leaf_stack: jnp.ndarray  # (S*LR, 128)
     seg_min: jnp.ndarray  # (S,3)
     seg_max: jnp.ndarray  # (S,3)
+    # per-leaf-slot side tables by stacked row id (two-phase tracer)
+    first_stack: jnp.ndarray | None = None  # (S*LS,) i32
+    count_stack: jnp.ndarray | None = None  # (S*LS,) i32
 
     def tree_flatten(self):
         return (self.segs, self.pairs_stack, self.leaf_stack,
-                self.seg_min, self.seg_max), None
+                self.seg_min, self.seg_max, self.first_stack,
+                self.count_stack), None
 
     @classmethod
     def tree_unflatten(cls, aux, ch):

@@ -75,18 +75,27 @@ class ShardedPathTracer:
                           else replicate(mesh, pt.packet_scene))
         self._wave_boxes_r = (None if pt.wave_boxes is None
                               else replicate(mesh, pt.wave_boxes))
+        self._inst_r = (None if pt.instances is None
+                        else replicate(mesh, pt.instances))
+        self._attr_r = replicate(mesh, pt._attr)
+        self._swz_r = replicate(mesh, (pt._swz, pt._inv_swz))
         self._fn = shard_render(mesh, pt._render_sample)
 
-    def render_frame(self, camera):
+    def __getattr__(self, name):
+        # stand in for the wrapped PathTracer everywhere else (pipelines
+        # read settings/accumulated_samples/_last_aovs/aov_* through us)
+        return getattr(self.pt, name)
+
+    def render_frame(self, camera, rate_depth=None):
         import jax.numpy as jnp
 
         cam_params = replicate(self.mesh, camera.ray_params(self.pt.width, self.pt.height))
+        rd = None if rate_depth is None else replicate(self.mesh, rate_depth)
         radiance, alb, nrm, dep, nrays = self._fn(
             self._scene_r, self._mats_r, self._lights_r, self._env_r,
             cam_params, jnp.uint32(self.pt._frame),
-            self._packet_r, self._wave_boxes_r, None, self.pt.instances,
-            replicate(self.mesh, self.pt._attr),
-            replicate(self.mesh, (self.pt._swz, self.pt._inv_swz)),
+            self._packet_r, self._wave_boxes_r, rd, self._inst_r,
+            self._attr_r, self._swz_r,
         )
         n = self.pt.accumulated_samples
         self.pt.accum = (self.pt.accum * n + radiance) / (n + 1)

@@ -18,6 +18,7 @@ The whole sample (raygen → N bounces → accumulate) is one jit.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, replace
 from functools import partial
 
@@ -49,6 +50,11 @@ class PathTracerSettings:
     rr_min_bounce: int = 2
     nee: bool = True  # next-event estimation toward sphere lights
     use_packet_tracer: bool = True  # Pallas packet kernel when available
+    # two-phase traversal (ops/two_phase.py): interior-only Pallas phase A
+    # records (ray, leaf) lists, dense XLA phase B tests them — the
+    # reference's ray-sorting coherence idea (CountingSort/**) taken to its
+    # TPU conclusion. Needs the WaveSet side tables (first/count stacks).
+    use_two_phase: bool = False
     do_ray_sorting: bool = False
     tile_size: int = 0  # 0 = whole batch in one traversal
     light_spheres: bool = True
@@ -282,15 +288,28 @@ class PathTracer:
         for src in (inst_attr_srcs or []):
             parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
                                     src.mat, src.e1, src.e2))
-        # channel-FIRST (32, n_slots). NOTE: physically identical to the
-        # (n_slots,32) column-major layout XLA chose before (layouts are
-        # the compiler's choice; the fetch stays ~40 ns/hit = ~110 ms per
-        # 2M-hit gather at 2.8M slots, 2x/frame). Kept because the (32,R)
-        # output is the SoA shape shading consumes; tools/bench_attr.py
-        # records the failed packed4 re-layout attempt — a Pallas DMA
-        # gather is the remaining lever (BENCH_NOTES.md).
-        self._attr = jnp.asarray(
-            np.ascontiguousarray(np.concatenate(parts, axis=0).T))
+        # Attribute-table layout (IDK_ATTR_ROWS, default row-padded):
+        #   rows=1: (n_slots, 128) rows — the 32 channels live in lanes
+        #     0:31 of a full 128-lane row. A per-hit fetch is then ONE
+        #     dense row gather (measured 353 Mrows/s on (L,128) tables,
+        #     tools/bench_pairs.py) + ONE transpose to SoA — vs ~40 ns/hit
+        #     (~110 ms per 2M-hit fusion, 2x/frame) for the strided
+        #     channel-first gather. Costs 4x HBM for the table (padding),
+        #     which is why it's a switch.
+        #   rows=0: channel-first (32, n_slots) — physically identical to
+        #     the (n_slots,32) column-major layout XLA chose before
+        #     (layouts are the compiler's choice); tools/bench_attr.py
+        #     records the failed packed4 middle ground.
+        packed = np.concatenate(parts, axis=0)
+        if int(os.environ.get("IDK_ATTR_ROWS", "1")):
+            # rows padded to a sublane multiple, and never exactly 32 so
+            # the shape can't be mistaken for a channel-first (32,T) table
+            nr = max((packed.shape[0] + 7) // 8 * 8, 40)
+            rowsp = np.zeros((nr, 128), np.float32)
+            rowsp[: packed.shape[0], :32] = packed
+            self._attr = jnp.asarray(rowsp)
+        else:
+            self._attr = jnp.asarray(np.ascontiguousarray(packed.T))
         self.instances = instances
         # static feature gates: keep the hot path untouched for scenes
         # without alpha-tested or normal-mapped materials
@@ -380,6 +399,8 @@ class PathTracer:
         # resident packet segments aren't needed at all on this path
         use_steered = (use_packet and isinstance(packet_scene, tuple)
                        and isinstance(wave_boxes, WaveSet))
+        use_tp = (s.use_two_phase and use_steered
+                  and wave_boxes.first_stack is not None)
 
         def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
             """Returns (Hit, inst_id|None)."""
@@ -390,6 +411,13 @@ class PathTracer:
                     scene, instances.scenes, instances.inv, instances.boxes,
                     o_, d_, t_max_, slot_off=instances.slot_off,
                     max_steps=s.max_trace_steps)
+            if use_tp:
+                from ..ops import two_phase as _tp
+                w_ = wave_boxes
+                return _tp.two_phase_closest_steered(
+                    w_.segs, w_.pairs_stack, w_.leaf_stack,
+                    w_.first_stack, w_.count_stack,
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows), None
             if use_steered:
                 w_ = wave_boxes
                 return packet_trace_closest_steered(
@@ -405,6 +433,13 @@ class PathTracer:
                 return trace_any_two_level(
                     scene, instances.scenes, instances.inv, instances.boxes,
                     o_, d_, t_max_, max_steps=s.max_trace_steps)
+            if use_tp:
+                from ..ops import two_phase as _tp
+                w_ = wave_boxes
+                return _tp.two_phase_any_steered(
+                    w_.segs, w_.pairs_stack, w_.leaf_stack,
+                    w_.first_stack, w_.count_stack,
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
             if use_steered:
                 w_ = wave_boxes
                 return packet_trace_any_steered(
@@ -415,12 +450,21 @@ class PathTracer:
                                         rows=rows)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
+        def _fetch_attr(slot_):
+            """Per-hit slot attributes as (32, R) SoA. Row-padded tables
+            ((T,128), lanes 0:31 = channels) fetch with ONE dense row
+            gather + transpose; channel-first (32,T) tables with the
+            strided fused gather (see the layout note at _pack_attr)."""
+            if attr.shape[1] == 128 and attr.shape[0] != 32:
+                return attr[slot_, :32].T  # (R,128) row gather -> SoA
+            return attr[:, slot_]  # (32, R) channel-first
+
         def _alpha_keep(hit_, state_):
             """Stochastic alpha test at a hit (ref: FirstHit/compute.glsl:
             141-146): MASK materials use their cutoff deterministically,
             BLEND keeps with probability alpha, OPAQUE always keeps."""
             slot_ = jnp.maximum(hit_.slot, 0)
-            af_ = attr[:, slot_]  # (32, R) channel-first
+            af_ = _fetch_attr(slot_)
             wb_ = 1.0 - hit_.u - hit_.v
             uv_ = jnp.stack(
                 [af_[0] * wb_ + af_[2] * hit_.u + af_[4] * hit_.v,
@@ -646,7 +690,7 @@ class PathTracer:
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            af = attr[:, slot]  # (32, R) packed slot attributes, SoA
+            af = _fetch_attr(slot)  # (32, R) packed slot attributes, SoA
             n0 = decompress_normal(af[9].view(jnp.uint32), jnp)
             n1 = decompress_normal(af[10].view(jnp.uint32), jnp)
             n2 = decompress_normal(af[11].view(jnp.uint32), jnp)

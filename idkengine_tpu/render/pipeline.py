@@ -324,6 +324,10 @@ class PtPipelineSettings:
     # smooth tiles terminate paths earlier next frame (the VRS feedback —
     # ref LightingShadingRateClassifier actually changes shading cost)
     adaptive_rate: bool = False
+    # SPMD over a device mesh (parallel/shard.py): 0 = single device,
+    # -1 = all visible devices, n = first n. The ray megabatch is the
+    # data-parallel axis; scene/BVH/materials replicate per chip.
+    shard_devices: int = 0
     use_bloom: bool = True
     bloom: bloom_mod.BloomSettings = field(default_factory=bloom_mod.BloomSettings)
     tonemap: tonemap_mod.TonemapSettings = field(
@@ -353,6 +357,15 @@ class PathTracerPipeline:
             instances=scene_db.instance_set(),
             inst_attr_srcs=getattr(scene_db, "_inst_attr_srcs", None),
         )
+        n_shard = self.settings.shard_devices
+        if n_shard:
+            import jax
+
+            from ..parallel.shard import ShardedPathTracer, make_mesh
+
+            n = len(jax.devices()) if n_shard < 0 else n_shard
+            if n > 1:
+                self.pt = ShardedPathTracer(self.pt, make_mesh(n))
         self.width, self.height = width, height
 
     def reset_accumulation(self):

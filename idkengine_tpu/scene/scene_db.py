@@ -190,6 +190,8 @@ class SceneDatabase:
 
         self.packet_scene = None
         self._packet_tables = None
+        self.packet_leaf_first = None  # two-phase side tables (resident)
+        self.packet_leaf_count = None
         self.wave_scene = None  # tuple of segment PacketScenes for wave trace
         self.wave_seg_min = None  # (S,3) f32 segment root boxes
         self.wave_seg_max = None
@@ -205,6 +207,11 @@ class SceneDatabase:
                 if tables.vmem_bytes <= PACKET_VMEM_BUDGET:
                     self._packet_tables = tables
                     self.packet_scene = PacketScene.from_tables(tables)
+                    if tables.leaf_first is not None:
+                        import jax.numpy as _jnp
+
+                        self.packet_leaf_first = _jnp.asarray(tables.leaf_first)
+                        self.packet_leaf_count = _jnp.asarray(tables.leaf_count)
                     self._build_wave_scene(tables.vmem_bytes)
                 else:
                     # VMEM-segmented big scene: subtree tables that each fit
@@ -288,6 +295,8 @@ class SceneDatabase:
             leaf_stack=self.wave_leaf_stack,
             seg_min=jnp.asarray(self.wave_seg_min),
             seg_max=jnp.asarray(self.wave_seg_max),
+            first_stack=getattr(self, "wave_first_stack", None),
+            count_stack=getattr(self, "wave_count_stack", None),
         )
 
     @staticmethod
@@ -297,6 +306,9 @@ class SceneDatabase:
         shapes would each compile their own kernel — minutes per segment)."""
         pr = max(t.pairs.shape[0] for t in tables)
         lr = max(t.leaf_geo.shape[0] for t in tables)
+        from ..ops.packet_trace import LEAVES_PER_ROW
+
+        ls = lr * LEAVES_PER_ROW
         for t in tables:
             if t.pairs.shape[0] < pr:
                 t.pairs = np.concatenate(
@@ -306,6 +318,12 @@ class SceneDatabase:
                 t.leaf_geo = np.concatenate(
                     [t.leaf_geo, np.zeros((lr - t.leaf_geo.shape[0], 128),
                                           np.float32)])
+            if t.leaf_first is not None and t.leaf_first.shape[0] < ls:
+                pad = ls - t.leaf_first.shape[0]
+                t.leaf_first = np.concatenate(
+                    [t.leaf_first, np.zeros(pad, np.int32)])
+                t.leaf_count = np.concatenate(
+                    [t.leaf_count, np.zeros(pad, np.int32)])
 
     def _set_wave_boxes(self, tables):
         self.wave_seg_min = np.stack(
@@ -322,6 +340,16 @@ class SceneDatabase:
             np.concatenate([t.pairs for t in tables], axis=0))
         self.wave_leaf_stack = jnp.asarray(
             np.concatenate([t.leaf_geo for t in tables], axis=0))
+        if all(t.leaf_first is not None for t in tables):
+            # per-leaf-slot side tables for the two-phase tracer
+            # (ops/two_phase.py): global first tri slot + count by the
+            # stacked leaf row id st*LS + slot
+            self.wave_first_stack = jnp.asarray(
+                np.concatenate([t.leaf_first for t in tables]))
+            self.wave_count_stack = jnp.asarray(
+                np.concatenate([t.leaf_count for t in tables]))
+        else:
+            self.wave_first_stack = self.wave_count_stack = None
 
     # ------------------------------------------------------------------
     def update(self, time: float, animation_index: int = 0) -> SceneArrays:

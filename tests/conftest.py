@@ -30,3 +30,8 @@ if "jax" in sys.modules:
         jax.config.update("jax_num_cpu_devices", 8)
     except Exception:
         pass
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tests (non-toy scenes on 1 CPU core)")

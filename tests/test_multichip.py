@@ -82,6 +82,95 @@ def test_sharded_pathtracer_smoke():
     assert rmse <= 1e-5, f"ShardedPathTracer diverged: RMSE {rmse}"
 
 
+def test_sharded_engine_pipeline():
+    """Engine -> PathTracerPipeline -> ShardedPathTracer: the
+    PtPipelineSettings.shard_devices knob routes the engine's PT mode
+    through the mesh; output matches the unsharded pipeline."""
+    from idkengine_tpu.engine import Engine, EngineSettings
+    from idkengine_tpu.parallel.shard import ShardedPathTracer as SPT
+
+    def _eng(n_shard):
+        db = SceneDatabase()
+        db.add_model(cornell_box(emissive_quad=False))
+        db.build()
+        db.lights.add([278, 480, 279.5], [6, 6, 6], radius=45.0)
+        import dataclasses
+
+        s = EngineSettings(width=64, height=8)
+        s.pt = dataclasses.replace(s.pt, ray_depth=2, sky_strength=0.0,
+                                   use_packet_tracer=False)
+        s.pt_pipeline.shard_devices = n_shard
+        s.pt_pipeline.use_bloom = False
+        eng = Engine(db, s)
+        eng.camera.position = np.array([278, 273, -800], np.float32)
+        eng.camera.yaw = 90.0
+        return eng
+
+    eng = _eng(8)
+    img = np.asarray(eng.render())
+    assert isinstance(eng._pipeline().pt, SPT)
+    ref = np.asarray(_eng(0).render())
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse <= 1e-5, f"engine sharded pipeline diverged: RMSE {rmse}"
+
+
+@pytest.mark.slow
+def test_sharded_nontoy_instanced_scene():
+    """Non-toy multi-chip coverage (VERDICT r2 #9): a 110k-tri atrium plus
+    instanced spheres (two-level tracer) at 256x256 depth-2 — a six-figure
+    ray count through the REAL instanced path, sharded over 8 devices,
+    RMSE-checked against the single-device render."""
+    from idkengine_tpu.bvh.builder import BuildSettings
+    from idkengine_tpu.scene.model import (
+        Material, MeshPrimitive, Model, Node)
+    from idkengine_tpu.scene.procedural import atrium, make_uv_sphere
+
+    pos, idx = make_uv_sphere([0.0, 0.0, 0.0], 1.2, n_lat=8, n_lon=12)
+    prim = MeshPrimitive(positions=pos.astype(np.float32),
+                         indices=idx.astype(np.uint32), material=0)
+    prim.ensure_normals()
+    inst_model = Model(
+        primitives=[prim], nodes=[Node(mesh_primitives=[0])],
+        materials=[Material(name="inst",
+                            base_color=np.array([0.9, 0.2, 0.2, 1],
+                                                np.float32))])
+    inst_model.root_nodes.append(0)
+
+    def _mat(t):
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 3] = t
+        return m
+
+    db = SceneDatabase(BuildSettings(max_leaf_triangle_count=12,
+                                     traversal_cost=4.0))
+    db.add_model(atrium(110_000))
+    db.add_instanced_model(inst_model, np.stack(
+        [_mat([-4.0, 2.0, 6.0]), _mat([4.0, 3.0, -6.0])]))
+    scene = db.build()
+    db.lights.add([0.0, 8.0, 0.0], [30.0, 30.0, 30.0], radius=0.5)
+    mats = db.materials.soa()
+    lights = db.lights.soa()
+    iset = db.instance_set()
+    assert iset is not None
+    cam = Camera(position=np.array([0, 3, 24], np.float32), yaw=-90.0,
+                 fov_y=65.0)
+    settings = PathTracerSettings(ray_depth=2, sky_strength=0.4,
+                                  use_packet_tracer=False)
+    pt = PathTracer(scene, mats, lights, 256, 256, settings, instances=iset,
+                    inst_attr_srcs=getattr(db, "_inst_attr_srcs", None))
+    ref = np.asarray(pt.render_frame(cam))
+    rays = float(pt.last_rays_traced)
+    assert rays >= 100_000, f"want a six-figure ray count, got {rays:.0f}"
+
+    pt2 = PathTracer(scene, mats, lights, 256, 256, settings, instances=iset,
+                     inst_attr_srcs=getattr(db, "_inst_attr_srcs", None))
+    spt = ShardedPathTracer(pt2, make_mesh(8))
+    img = np.asarray(spt.render_frame(cam))
+    assert img.shape == ref.shape
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    assert rmse <= 1e-5, f"sharded instanced render diverged: RMSE {rmse}"
+
+
 def test_dryrun_multichip_entry():
     """The driver's own entry point must pass in-process."""
     import __graft_entry__

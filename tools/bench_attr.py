@@ -8,6 +8,10 @@ tiles. Variants:
   packed4  — 4 slots per 128-lane row: (T/4,128) dense row gather (one
              tile/hit) + layout-pinned transpose + 4-way lane-group
              select per channel
+  padded128— 1 slot per 128-lane row (lanes 0:31 = channels, 4x HBM):
+             dense row gather (353 Mrows/s class, tools/bench_pairs.py)
+             + slice + transpose to SoA, no select chain. This is what
+             the PathTracer builds under IDK_ATTR_ROWS=1.
 Consumption modeled as a weighted sum of all 32 channels.
 
 Env: IDK_ATTR_T (2.75M), IDK_ATTR_N (2M), IDK_BENCH_REPS (5).
@@ -73,12 +77,29 @@ def main():
             acc = acc + v * w[c]
         return jnp.sum(acc)
 
+    p128 = np.zeros((T, 128), np.float32)
+    p128[:, :32] = tbl_np
+    tbl128 = jnp.asarray(p128)
+    del p128
+
+    @jax.jit
+    def padded128(salt, idx, tbl128, w):
+        s = (idx + salt) % T
+        gt = tbl128[s, :32].T  # (32,N) SoA
+        acc = jnp.zeros((N,), jnp.float32)
+        for c in range(32):
+            acc = acc + gt[c] * w[c]
+        return jnp.sum(acc)
+
     r0 = float(naive(jnp.int32(7), idx, tbl, w))
     r1 = float(packed4(jnp.int32(7), idx, tbl4, w))
+    r2 = float(padded128(jnp.int32(7), idx, tbl128, w))
     assert abs(r0 - r1) / max(abs(r0), 1) < 1e-4, (r0, r1)
+    assert abs(r0 - r2) / max(abs(r0), 1) < 1e-4, (r0, r2)
 
-    for name, fn, extra in [("naive  ", naive, (tbl, w)),
-                            ("packed4", packed4, (tbl4, w))]:
+    for name, fn, extra in [("naive    ", naive, (tbl, w)),
+                            ("packed4  ", packed4, (tbl4, w)),
+                            ("padded128", padded128, (tbl128, w))]:
         try:
             ms = timed(fn, idx, *extra)
         except Exception as e:
