@@ -62,6 +62,11 @@ class PathTracerSettings:
     sky_horizon: tuple = (0.9, 0.9, 0.95)
     sky_strength: float = 1.0
     use_env_map: bool = False
+    # NEE toward bright env texels via an alias table (render/envsample.py):
+    # with a small HDR sun, BSDF-only sampling never converges (VERDICT r2);
+    # when on, the diffuse direct env term is owned by NEE and BSDF env
+    # hits count only on delta-ish paths (same split as sphere lights)
+    env_nee: bool = False
     max_trace_steps: int = 1 << 30
     # texture LOD bias added to the ray-cone mip level (negative = sharper;
     # TAA/TAAU callers set log2(render/display)-0.5, ref: TAAResolve.cs:76-80)
@@ -70,12 +75,28 @@ class PathTracerSettings:
 
 def _sky(d, settings: PathTracerSettings, env_map):
     if settings.use_env_map and env_map is not None:
+        # bilinear equirect lookup (the reference samples its skybox with
+        # hardware bilinear); phi wraps, theta clamps at the poles
         h, w = env_map.shape[0], env_map.shape[1]
         theta = jnp.arccos(jnp.clip(d[..., 1], -1.0, 1.0))
         phi = jnp.arctan2(d[..., 2], d[..., 0])
-        x = jnp.clip(((phi / (2 * jnp.pi) + 0.5) * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((theta / jnp.pi * h).astype(jnp.int32), 0, h - 1)
-        return env_map[y, x] * settings.sky_strength
+        fx = (phi / (2 * jnp.pi) + 0.5) * w - 0.5
+        fy = jnp.clip(theta / jnp.pi * h - 0.5, 0.0, h - 1.0)
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = (fx - x0)[..., None]
+        ty = (fy - y0)[..., None]
+        x0 = jnp.mod(x0, w)
+        x1 = jnp.mod(x0 + 1, w)
+        y1 = jnp.minimum(y0 + 1, h - 1)
+        flat = env_map.reshape(-1, 3)
+        c00 = flat[y0 * w + x0]
+        c10 = flat[y0 * w + x1]
+        c01 = flat[y1 * w + x0]
+        c11 = flat[y1 * w + x1]
+        top = c00 * (1 - tx) + c10 * tx
+        bot = c01 * (1 - tx) + c11 * tx
+        return (top * (1 - ty) + bot * ty) * settings.sky_strength
     t = jnp.clip(d[..., 1] * 0.5 + 0.5, 0.0, 1.0)[..., None]
     zen = jnp.asarray(settings.sky_zenith, jnp.float32)
     hor = jnp.asarray(settings.sky_horizon, jnp.float32)
@@ -206,6 +227,13 @@ class PathTracer:
         self.height = height
         self.settings = settings or PathTracerSettings()
         self.env_map = None if env_map is None else jnp.asarray(env_map, jnp.float32)
+        # alias tables for env NEE (host build, once per map); only when the
+        # settings can use them — the table build is O(H*W) python
+        self._env_tables = None
+        st = settings or PathTracerSettings()
+        if env_map is not None and st.use_env_map and st.env_nee:
+            from . import envsample
+            self._env_tables = envsample.EnvSampler(np.asarray(env_map)).tables
         # skip atlas gathers entirely for factor-only material sets
         self._has_textures = bool(
             np.any(np.asarray(materials.get("base_layer", [-1])) >= 0)
@@ -336,7 +364,8 @@ class PathTracer:
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
                        packet_scene, wave_boxes, rate_depth=None,
-                       instances=None, attr=None, swz_tables=None):
+                       instances=None, attr=None, swz_tables=None,
+                       env_tables=None):
         # attr/swz_tables travel as ARGUMENTS for the same reason as
         # packet_scene: closed-over device arrays are baked into the HLO as
         # constants — the 2.8M-tri attribute table alone is ~360 MB and
@@ -672,9 +701,13 @@ class PathTracer:
             hit_light = alive & (light_id >= 0) & ~hit_tri
             miss = alive & ~hit_tri & ~hit_light
 
-            # -- miss: sky
+            # -- miss: sky. With env NEE on, NEE owns the diffuse direct
+            # env term — BSDF env hits count only on delta-ish paths (the
+            # same split as sphere-light hits below)
+            env_owns = s.env_nee and env_tables is not None
+            sky_mask = (miss & last_delta) if env_owns else miss
             radiance = radiance + jnp.where(
-                miss[..., None], throughput * _sky(d, s, env_map), 0.0
+                sky_mask[..., None], throughput * _sky(d, s, env_map), 0.0
             )
             # -- light hit: add emitted radiance, terminate. With NEE on,
             # only delta-ish paths collect BSDF light hits (NEE owns the
@@ -865,6 +898,36 @@ class PathTracer:
                     (do_nee & ~occluded)[..., None], contrib, 0.0
                 )
 
+            # -- next-event estimation toward the environment map: alias
+            # table draws a bright texel (render/envsample.py) and a shadow
+            # ray tests visibility to the sky (t_max unbounded). Extension
+            # beyond the reference (whose skybox is miss-only): a small HDR
+            # sun never converges under BSDF sampling alone.
+            if s.nee and env_owns:
+                from . import envsample as _es
+                state, u_e1 = rng.uniform(state)
+                state, u_e2 = rng.uniform(state)
+                state, u_ej = rng.uniform2(state)
+                edir, epdf = _es.sample(env_tables, u_e1, u_e2, u_ej)
+                cos_e = jnp.maximum(jnp.sum(ns * edir, axis=-1), 0.0)
+                do_enee = hit_tri & (cos_e > 0.0) & (epdf > 0.0)
+                eps_e = 1e-4 * jnp.maximum(
+                    1.0, jnp.linalg.norm(hp_point, axis=-1))
+                e_tmax = jnp.where(do_enee, jnp.float32(3.4e38), -1.0)
+                rays_traced = rays_traced + jnp.sum(
+                    do_enee.astype(jnp.float32))
+                state, occluded_e = _shadow_occluded(
+                    state, hp_point + gn * eps_e[..., None], edir, e_tmax,
+                    trace_rows)
+                brdf_e = shading.ggx_brdf(ns, -d, edir, albedo, metallic,
+                                          roughness)
+                brdf_e = brdf_e * (1.0 - transmission)[..., None]
+                l_env = _sky(edir, s, env_map)
+                contrib_e = (throughput * brdf_e * l_env
+                             / jnp.maximum(epdf, 1e-8)[..., None])
+                radiance = radiance + jnp.where(
+                    (do_enee & ~occluded_e)[..., None], contrib_e, 0.0)
+
             state, u_lobe = rng.uniform(state)
             state, u_dir = rng.uniform2(state)
             surf = shading.sample_bsdf(
@@ -924,6 +987,13 @@ class PathTracer:
         rate_depth: optional (H*W,) int32 per-pixel bounce budget from the
         adaptive classifier (render/adaptive.py)."""
         cam_params = camera.ray_params(self.width, self.height)
+        s = self.settings
+        if (s.use_env_map and s.env_nee and self.env_map is not None
+                and self._env_tables is None):
+            # settings switched on after construction (set_settings)
+            from . import envsample
+            self._env_tables = envsample.EnvSampler(
+                np.asarray(self.env_map)).tables
         fn = self._get_compiled()
         self.last_rays_traced = 0.0
         for _ in range(self.settings.spp_per_frame):
@@ -931,7 +1001,7 @@ class PathTracer:
                 self.scene, self.mats, self.lights, self.env_map, cam_params,
                 jnp.uint32(self._frame), self.packet_scene, self.wave_boxes,
                 rate_depth, self.instances, self._attr,
-                (self._swz, self._inv_swz),
+                (self._swz, self._inv_swz), self._env_tables,
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)

@@ -40,7 +40,11 @@ class VxgiSettings:
     """ref: Voxelizer/ConeTracer settings surfaces."""
 
     resolution: int = 128  # grid size per axis (reference default 256)
-    samples_per_tri_unit: float = 4.0  # samples per (voxel_area) of triangle
+    # samples per (voxel_area) of triangle: 1.0 matches the reference's
+    # raster-injection density (one fragment per covered voxel,
+    # Voxelize/fragment.glsl) — the old 4.0 default was 4x oversampled and
+    # scatter cost (~90 ns/update XLA floor, BENCH_NOTES) scales linearly
+    samples_per_tri_unit: float = 1.0
     max_samples: int = 1 << 20
     cones: int = 6
     cone_aperture_deg: float = 32.0
