@@ -213,12 +213,16 @@ def _load_material(m: dict) -> Material:
 
 
 def load_gltf(path: str, load_textures: bool = True,
-              defer_textures: bool = False) -> Model:
+              defer_textures: bool = False,
+              optimize: bool = True) -> Model:
     """Load a .gltf/.glb file into the engine Model representation.
 
     defer_textures=True reads texture bytes but skips decoding — each
     Texture carries source_bytes for a background decode
-    (ref: ModelLoader's async texture tasks; see scene/async_io.py)."""
+    (ref: ModelLoader's async texture tasks; see scene/async_io.py).
+    optimize=True runs the meshopt pass (scene/meshopt.py — the
+    reference's gltfpack/OptimizeVertexCache role, ModelLoader.cs:
+    1695-1805): Morton triangle reorder + first-use vertex reindex."""
     gf = _GltfFile(path)
     g = gf.json
     model = Model(name=os.path.basename(path))
@@ -393,6 +397,10 @@ def load_gltf(path: str, load_textures: bool = True,
             Skin(joints=joints, inverse_bind_matrices=ibm.astype(np.float32),
                  skeleton=remap.get(gs.get("skeleton", -1), -1))
         )
+
+    if optimize:
+        from .meshopt import optimize_model
+        optimize_model(model)
 
     log.info(
         "loaded %s: %d nodes, %d prims, %d tris, %d materials, %d anims",
