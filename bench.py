@@ -26,7 +26,11 @@ import subprocess
 import sys
 import time
 
-CACHE_DIR = os.path.expanduser("~/.cache/jax_cache")
+# repo-local so a pre-warmed cache survives to the driver's bench run
+# (fresh 2.8M full-frame compiles take tens of minutes on the remote
+# compile service; warm-cache runs start in seconds)
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
 
 
 # ---------------------------------------------------------------------------

@@ -47,6 +47,12 @@ from .packet_trace import (
 
 D_SLOTS = int(os.environ.get("IDK_TP_D", "8"))
 TP_STEER_K = int(os.environ.get("IDK_TP_STEER_K", "12"))
+# Co-traversing chains in phase A (same trick as packet_trace CHAINS):
+# independent row-slices of the packet share each iteration's
+# vector->scalar sync drain. Phase A has NO leaf tests — its loop is
+# exactly the sync-bound case where chains measured ~linear wins
+# (tools/bench_dual.py: 1100 cyc/visit at 1 chain, ~350 at 4).
+TP_CHAINS = int(os.environ.get("IDK_TP_CHAINS", "1"))
 
 
 # ---------------------------------------------------------------------------
@@ -54,41 +60,47 @@ TP_STEER_K = int(os.environ.get("IDK_TP_STEER_K", "12"))
 # ---------------------------------------------------------------------------
 
 def _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
-                  stack_ref, cnt_ref, list_refs):
+                  stack_ref, cnt_ref, list_refs, chains: int = 1):
     """Returns run_seg(pairs_ref, t_max, seg_base): one interior-only
     traversal of a (wide-layout) table, appending leaf-child row ids
     (+seg_base) to the per-ray lists. cnt_ref counts EVERY wanted leaf
-    (beyond D too — the overflow signal)."""
+    (beyond D too — the overflow signal).
 
-    def emit(h_i32, rowid):
-        c = cnt_ref[:]
-        for dd in range(D):
-            sel = (c == dd) & (h_i32 > 0)
-            list_refs[dd][:] = jnp.where(sel, rowid, list_refs[dd][:])
-        cnt_ref[:] = c + h_i32
+    chains > 1 co-traverses independent row-slices of the packet in ONE
+    while_loop (same rationale as packet_trace._build_run_seg): phase A is
+    pure interior traversal, so every iteration is dominated by the
+    vector->scalar sync drain that independent same-iteration chains
+    share. Chain k owns ray rows [k*rc, (k+1)*rc), stack slots
+    [k*STACK_DEPTH, ...), and the matching row-slices of cnt/lists."""
+    assert rows % chains == 0, (rows, chains)
+    rc = rows // chains
 
-    def run_seg(pairs_ref, t_max, seg_base):
-        rm0 = pairs_ref[0, 0].astype(jnp.int32)
-        rm1 = pairs_ref[0, 1].astype(jnp.int32)
-        rb = (pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
-              pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7])
-        rhit, _ = _slab(ox, oy, oz, ix, iy, iz, *rb, t_max)
-        any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
+    def make_chain(k):
+        s0 = k * rc
+        csl = lambda a: jax.lax.slice(a, (s0, 0), (s0 + rc, 128))
+        oxk, oyk, ozk = csl(ox), csl(oy), csl(oz)
+        ixk, iyk, izk = csl(ix), csl(iy), csl(iz)
+        if chains == 1:
+            negsk = negs
+        else:
+            # per-chain dominant sign from the inverse directions (signs of
+            # 1/d match d elementwise; this is only an ordering heuristic)
+            negsk = (jnp.sum(ixk) < 0.0, jnp.sum(iyk) < 0.0,
+                     jnp.sum(izk) < 0.0)
+        soff = k * STACK_DEPTH
 
-        @pl.when(any_root & (rm1 != 0))
-        def _():  # degenerate one-leaf (sub)tree: emit at the root
-            emit(rhit.astype(jnp.int32), seg_base + (rm1 >> 4))
+        def emit(h_i32, rowid):
+            c = cnt_ref[s0:s0 + rc, :]
+            for dd in range(D):
+                sel = (c == dd) & (h_i32 > 0)
+                list_refs[dd][s0:s0 + rc, :] = jnp.where(
+                    sel, rowid, list_refs[dd][s0:s0 + rc, :])
+            cnt_ref[s0:s0 + rc, :] = c + h_i32
 
-        stack_ref[0] = rm0
-        sp0 = jnp.where(any_root & (rm1 == 0), jnp.int32(1), jnp.int32(0))
-
-        def cond(c):
-            return c[0] > 0
-
-        def body(c):
-            sp, it = c
+        def visit(pairs_ref, t_maxk, sp):
+            """Pop + test ONE interior node for this chain."""
             sp = sp - 1
-            m0 = stack_ref[sp]
+            m0 = stack_ref[soff + sp]
             axis = m0 & 3
             wnode = m0 >> 2
             row = 1 + (wnode >> 1)
@@ -100,9 +112,9 @@ def _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
                     for cc in range(8):
                         b = cc * 8
                         h, _tn = _slab(
-                            ox, oy, oz, ix, iy, iz,
+                            oxk, oyk, ozk, ixk, iyk, izk,
                             sl(b), sl(b + 1), sl(b + 2),
-                            sl(b + 3), sl(b + 4), sl(b + 5), t_max,
+                            sl(b + 3), sl(b + 4), sl(b + 5), t_maxk,
                         )
                         hs.append(h.astype(jnp.int32))
                         mets.append(sl(b + 6).astype(jnp.int32))
@@ -124,8 +136,8 @@ def _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
                 s_ = vals[24 + i]
                 ns.append(s_ & 0xFFFF)
                 ns.append(s_ >> 16)
-            neg = jnp.where(axis == 0, negs[0],
-                            jnp.where(axis == 1, negs[1], negs[2]))
+            neg = jnp.where(axis == 0, negsk[0],
+                            jnp.where(axis == 1, negsk[1], negsk[2]))
             # push INTERIOR children far-to-near (pop order = near-first);
             # LEAF children never enter the stack — their per-ray hit masks
             # append to the lists right here (near-to-far for better
@@ -138,7 +150,7 @@ def _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
 
                 @pl.when(do)
                 def _(pm0=pm0, sp=sp):
-                    stack_ref[sp] = pm0
+                    stack_ref[soff + sp] = pm0
 
                 sp = sp + do.astype(jnp.int32)
             for kk in range(8):
@@ -148,17 +160,67 @@ def _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
 
                 @pl.when((pn > 0) & (pm1 != 0))
                 def _(ph=ph, pm1=pm1):
-                    emit(ph, seg_base + (pm1 >> 4))
+                    emit(ph, seg_base_box[0] + (pm1 >> 4))
 
-            return sp, it + 1
+            return sp
 
-        sp, iters = jax.lax.while_loop(cond, body, (sp0, jnp.int32(0)))
-        return iters
+        return csl, emit, visit
+
+    # seg_base travels via a mutable cell so visit() can close over it
+    # (run_seg may be called once per steered segment with different bases)
+    seg_base_box = [jnp.int32(0)]
+    chain_ctx = [make_chain(k) for k in range(chains)]
+
+    def run_seg(pairs_ref, t_max, seg_base):
+        seg_base_box[0] = seg_base
+        rm0 = pairs_ref[0, 0].astype(jnp.int32)
+        rm1 = pairs_ref[0, 1].astype(jnp.int32)
+        rb = (pairs_ref[0, 2], pairs_ref[0, 3], pairs_ref[0, 4],
+              pairs_ref[0, 5], pairs_ref[0, 6], pairs_ref[0, 7])
+        sps, tmaxs = [], []
+        for k, (csl, emit, _visit) in enumerate(chain_ctx):
+            tmk = csl(t_max)
+            tmaxs.append(tmk)
+            oxk, oyk, ozk = csl(ox), csl(oy), csl(oz)
+            ixk, iyk, izk = csl(ix), csl(iy), csl(iz)
+            rhit, _ = _slab(oxk, oyk, ozk, ixk, iyk, izk, *rb, tmk)
+            any_root = jnp.sum(rhit.astype(jnp.int32)) > 0
+
+            @pl.when(any_root & (rm1 != 0))
+            def _(emit=emit, rhit=rhit):
+                # degenerate one-leaf (sub)tree: emit at the root
+                emit(rhit.astype(jnp.int32), seg_base + (rm1 >> 4))
+
+            stack_ref[k * STACK_DEPTH] = rm0
+            sps.append(jnp.where(any_root & (rm1 == 0),
+                                 jnp.int32(1), jnp.int32(0)))
+
+        C = chains
+
+        def cond(c):
+            alive = c[0] > 0
+            for k in range(1, C):
+                alive = alive | (c[k] > 0)
+            return alive
+
+        def body(c):
+            sps = list(c[:C])
+            it = c[-1]
+            for k in range(C):
+                def do_visit(sp, k=k):
+                    return chain_ctx[k][2](pairs_ref, tmaxs[k], sp)
+
+                sps[k] = jax.lax.cond(
+                    sps[k] > 0, do_visit, lambda sp: sp, sps[k])
+            return (*sps, it + 1)
+
+        res = jax.lax.while_loop(cond, body, (*sps, jnp.int32(0)))
+        return res[-1]
 
     return run_seg
 
 
-def _make_kernel_a(rows: int, D: int):
+def _make_kernel_a(rows: int, D: int, chains: int = 1):
     def kernel(pairs_hbm,
                ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
                cnt_ref, *rest):
@@ -185,13 +247,14 @@ def _make_kernel_a(rows: int, D: int):
         for dd in range(D):
             list_refs[dd][:] = jnp.full((rows, 128), -1, jnp.int32)
         run_seg = _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
-                                stack_ref, cnt_ref, list_refs)
+                                stack_ref, cnt_ref, list_refs, chains=chains)
         run_seg(pairs_ref, t_max, jnp.int32(0))
 
     return kernel
 
 
-def _make_kernel_a_steered(rows: int, D: int, K: int, PR: int, LS: int):
+def _make_kernel_a_steered(rows: int, D: int, K: int, PR: int, LS: int,
+                           chains: int = 1):
     """Steered phase A: per-packet list of segment ids (scalar prefetch),
     double-buffered pairs-table DMA (NO leaf tables — that's the point),
     lists/counts accumulate across segments with global leaf rows."""
@@ -217,7 +280,7 @@ def _make_kernel_a_steered(rows: int, D: int, K: int, PR: int, LS: int):
         for dd in range(D):
             list_refs[dd][:] = jnp.full((rows, 128), -1, jnp.int32)
         run_seg = _phase_a_body(rows, D, ox, oy, oz, ix, iy, iz, negs,
-                                stack_ref, cnt_ref, list_refs)
+                                stack_ref, cnt_ref, list_refs, chains=chains)
 
         pid = pl.program_id(0)
 
@@ -256,24 +319,28 @@ def _pad_rays(o, d, t_max, packet):
     return o, d, t_max, r, r + pad
 
 
-def phase_a(ps, o, d, t_max, interpret=False, rows=PACKET_ROWS, D=D_SLOTS):
+def phase_a(ps, o, d, t_max, interpret=False, rows=PACKET_ROWS, D=D_SLOTS,
+            chains=None):
     """Resident-table phase A. Returns (lists (R,D) i32 leaf rows | -1,
     cnt (R,) i32 total wanted leaves — cnt>D means the list overflowed)."""
     assert ps.wide and LEAVES_PER_ROW == 1, "two-phase needs wide tables"
+    chains = TP_CHAINS if chains is None else chains
+    if rows % max(chains, 1) != 0:
+        chains = 1
     o, d, t_max, r, rp = _pad_rays(o, d, t_max, rows * 128)
     n_pk = rp // (rows * 128)
     shape8 = (n_pk * rows, 128)
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel_a(rows, D),
+        _make_kernel_a(rows, D, chains),
         grid=(n_pk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
         out_specs=[ray_spec] * (1 + D),
         out_shape=[jax.ShapeDtypeStruct(shape8, jnp.int32)] * (1 + D),
         scratch_shapes=[
             pltpu.VMEM(ps.pairs.shape, jnp.float32),
-            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
             pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
@@ -287,9 +354,13 @@ def phase_a(ps, o, d, t_max, interpret=False, rows=PACKET_ROWS, D=D_SLOTS):
 
 
 def phase_a_steered(pairs_stack, PR, LS, steer, o, d, t_max,
-                    interpret=False, rows=PACKET_ROWS, D=D_SLOTS):
+                    interpret=False, rows=PACKET_ROWS, D=D_SLOTS,
+                    chains=None):
     """Steered phase A over a segmented scene. steer: (n_pk, K) segment ids
     (-1 = skip). Returns (lists, cnt) with GLOBAL leaf rows (st*LS + slot)."""
+    chains = TP_CHAINS if chains is None else chains
+    if rows % max(chains, 1) != 0:
+        chains = 1
     packet = rows * 128
     o, d, t_max, r, rp = _pad_rays(o, d, t_max, packet)
     n_pk = rp // packet
@@ -299,7 +370,7 @@ def phase_a_steered(pairs_stack, PR, LS, steer, o, d, t_max,
     ray_spec = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                             memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
-        _make_kernel_a_steered(rows, D, K, PR, LS),
+        _make_kernel_a_steered(rows, D, K, PR, LS, chains),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
@@ -307,7 +378,7 @@ def phase_a_steered(pairs_stack, PR, LS, steer, o, d, t_max,
             out_specs=[ray_spec] * (1 + D),
             scratch_shapes=[
                 pltpu.VMEM((2, PR, 128), jnp.float32),
-                pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                pltpu.SMEM((chains * STACK_DEPTH,), jnp.int32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),

@@ -99,6 +99,33 @@ class TestResident:
             o, d, tm, interpret=True, rows=8)
         assert (np.asarray(got.slot)[1::2] == -1).all()
 
+    def test_chains_match_single(self, atrium_setup, monkeypatch):
+        """chains>1 co-traverses row-slices with per-chain orderings; the
+        emitted leaf SETS (and exact closest hits) must not change."""
+        b, tables, ps, _v, _i = atrium_setup
+        lo, hi = b.nodes["min"][0], b.nodes["max"][0]
+        o, d = _rays(1024, lo, hi, seed=7)
+        tm = jnp.full((1024,), 1e30, jnp.float32)
+        ref = tp.two_phase_closest(
+            ps, jnp.asarray(tables.leaf_first), jnp.asarray(tables.leaf_count),
+            o, d, tm, interpret=True, rows=8, d_slots=4)
+        monkeypatch.setattr(tp, "TP_CHAINS", 2)
+        # TP_CHAINS is read at trace time — drop the chains=1 trace
+        tp.two_phase_closest.clear_cache()
+        got = tp.two_phase_closest(
+            ps, jnp.asarray(tables.leaf_first), jnp.asarray(tables.leaf_count),
+            o, d, tm, interpret=True, rows=8, d_slots=4)
+        _assert_hits_equal(got, ref, tm, "chains=2 vs chains=1")
+        # don't leak the chains=2 trace to later same-shape calls
+        monkeypatch.undo()
+        tp.two_phase_closest.clear_cache()
+        # counts are order-independent — must match exactly
+        _l1, c1 = tp.phase_a(ps, o, d, tm, interpret=True, rows=8, D=4,
+                             chains=1)
+        _l2, c2 = tp.phase_a(ps, o, d, tm, interpret=True, rows=8, D=4,
+                             chains=2)
+        np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+
     def test_overflow_counts_reported(self, atrium_setup):
         b, tables, ps, _v, _i = atrium_setup
         lo, hi = b.nodes["min"][0], b.nodes["max"][0]

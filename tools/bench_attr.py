@@ -91,15 +91,66 @@ def main():
             acc = acc + gt[c] * w[c]
         return jnp.sum(acc)
 
-    r0 = float(naive(jnp.int32(7), idx, tbl, w))
-    r1 = float(packed4(jnp.int32(7), idx, tbl4, w))
-    r2 = float(padded128(jnp.int32(7), idx, tbl128, w))
-    assert abs(r0 - r1) / max(abs(r0), 1) < 1e-4, (r0, r1)
-    assert abs(r0 - r2) / max(abs(r0), 1) < 1e-4, (r0, r2)
+    @jax.jit
+    def pad_full_t(salt, idx, tbl128, w):
+        """Gather FULL (N,128) rows (no slice inside the gather), pin the
+        row-major layout, transpose whole, slice 32 sublanes after."""
+        s = (idx + salt) % T
+        g = tbl128[s]
+        g = with_layout_constraint(g, fmt)
+        gt = g.T  # (128,N)
+        gt = with_layout_constraint(gt, fmt)
+        acc = jnp.zeros((N,), jnp.float32)
+        for c in range(32):
+            acc = acc + gt[c] * w[c]
+        return jnp.sum(acc)
 
-    for name, fn, extra in [("naive    ", naive, (tbl, w)),
-                            ("packed4  ", packed4, (tbl4, w)),
-                            ("padded128", padded128, (tbl128, w))]:
+    @jax.jit
+    def pad_weight_mm(salt, idx, tbl128, w):
+        """Consume via a (N,128)@(128,) matvec — the MXU eats the reduce,
+        no transpose at all. Only works for weighted-sum style consumers,
+        but shading wants individual channels... benchmark the bound."""
+        s = (idx + salt) % T
+        g = tbl128[s]
+        w128 = jnp.concatenate([w, jnp.zeros((96,), jnp.float32)])
+        return jnp.sum(g @ w128)
+
+    @jax.jit
+    def pad_dot_t(salt, idx, tbl128, w):
+        """Transpose via MXU: gt = I32x128 @ g^T expressed as dot_general
+        (128,N) = (128,128) @ (N,128)^T — contraction on lanes, output
+        sublane-major. XLA picks the layout; the matmul's (128,128) eye is
+        free next to the (N,128) stream."""
+        s = (idx + salt) % T
+        g = tbl128[s]  # (N,128)
+        eye = jnp.eye(128, dtype=jnp.float32)
+        gt = jax.lax.dot_general(eye, g, (((1,), (1,)), ((), ())))  # (128,N)
+        acc = jnp.zeros((N,), jnp.float32)
+        for c in range(32):
+            acc = acc + gt[c] * w[c]
+        return jnp.sum(acc)
+
+    r0 = float(naive(jnp.int32(7), idx, tbl, w))
+    variants = [("naive    ", naive, (tbl, w)),
+                ("packed4  ", packed4, (tbl4, w)),
+                ("padded128", padded128, (tbl128, w)),
+                ("padfull_t", pad_full_t, (tbl128, w)),
+                ("pad_wt_mm", pad_weight_mm, (tbl128, w)),
+                ("pad_dot_t", pad_dot_t, (tbl128, w))]
+    only = os.environ.get("IDK_ATTR_ONLY", "")
+    if only:
+        variants = [v for v in variants
+                    if v[0].strip() in only.split(",")] or variants
+    for name, fn, extra in variants:
+        try:
+            rv = float(fn(jnp.int32(7), idx, *extra))
+            assert abs(r0 - rv) / max(abs(r0), 1) < 1e-4, (r0, rv, name)
+        except AssertionError:
+            raise
+        except Exception as e:
+            print(f"{name}  FAILED: {type(e).__name__} "
+                  f"{str(e).splitlines()[0][:110]}", flush=True)
+            continue
         try:
             ms = timed(fn, idx, *extra)
         except Exception as e:

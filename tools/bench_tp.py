@@ -16,7 +16,10 @@ import glob
 import gzip
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import numpy as np
 
@@ -148,8 +151,11 @@ def main():
     args = (ws.segs, ws.pairs_stack, ws.leaf_stack)
     targs = args + (ws.first_stack, ws.count_stack)
 
+    # NO outer jit wrapper: the inner steered functions are jitted with the
+    # tables as ARGUMENTS; an outer jit would close over the 100s-of-MB
+    # stacks as embedded constants and blow the remote-compile payload
+    # limit (HTTP 413 — the exact failure that killed the first A/B run).
     if mode in ("both", "steered"):
-        @jax.jit
         def run_steered(salt):
             h1 = packet_trace_closest_steered(
                 *args, ws.seg_min, ws.seg_max, o2s, d2s, tm2s + salt,
@@ -166,7 +172,6 @@ def main():
               + "  ".join(f"{n[:40]}={v:.1f}" for n, v in top))
 
     if mode in ("both", "tp"):
-        @jax.jit
         def run_tp(salt):
             h1 = tp.two_phase_closest_steered(
                 *targs, ws.seg_min, ws.seg_max, o2s, d2s, tm2s + salt,
