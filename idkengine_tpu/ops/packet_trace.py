@@ -1308,6 +1308,12 @@ def packet_trace_any_waves(ps_segs, seg_min, seg_max, o, d, t_max,
 # the chained fallback sweep (exact).
 
 STEER_K = int(__import__("os").environ.get("IDK_STEER_K", "8"))
+# while_loop steered kernel with FULL per-packet segment coverage (one
+# launch, in-kernel best-t carry) instead of the unrolled two-pass
+# (pass + residual + backstop) scheme: measured 2.2x on 2.8M bounce
+# closest (1995 -> 893 ms) and 1.9x on NEE any (375 -> 193 ms), exact.
+# See _make_kernel_steered_loop / BENCH_NOTES 'Steered loop kernel'.
+STEER_LOOP = int(__import__("os").environ.get("IDK_STEER_LOOP", "1"))
 # Per-segment table budget for the steered kernel: the kernel double-buffers
 # one segment's pairs+leaf tables in scoped VMEM (2x budget) next to the ray
 # blocks/outputs and the ~16 MB scoped limit. 13 MB whole-scene segments are
@@ -1429,9 +1435,133 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
     return kernel
 
 
+def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
+                              PR: int, LR: int, chains: int = 1):
+    """Steered kernel with a while_loop over the steer slots instead of the
+    unrolled K iterations of _make_kernel_steered. Code size is then
+    K-independent, so K can cover ALL of a packet's intersected segments
+    (the steering build packs valid ids as a near-first PREFIX, -1 after,
+    so the loop early-exits at the packet's real segment count). best-t
+    carries across segments IN-KERNEL — one launch replaces the two-pass
+    (pass + residual) scheme plus its per-segment backstop sweeps, which
+    the 2.8M A/B profile measured at ~60% of the steered path's device
+    time (BENCH_NOTES 'Two-phase A/B'). Double-buffered segment DMA as in
+    the unrolled kernel; the traced buffer index is resolved with two
+    static pl.when branches."""
+
+    def kernel(
+        steer_ref,
+        ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmax_ref,
+        pairs_hbm, leaf_hbm,
+        t_ref, slot_ref, u_ref, v_ref,
+        pairs_buf, leaf_buf, stack0_ref, stack1_ref, dma_sems,
+    ):
+        ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+        dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+        t_base = tmax_ref[:]
+        tiny = jnp.float32(1e-20)
+        sgn = lambda v: jnp.where(v < 0, -tiny, tiny)
+        ix = 1.0 / jnp.where(jnp.abs(dx) < tiny, sgn(dx), dx)
+        iy = 1.0 / jnp.where(jnp.abs(dy) < tiny, sgn(dy), dy)
+        iz = 1.0 / jnp.where(jnp.abs(dz) < tiny, sgn(dz), dz)
+        neg_x = jnp.sum(dx) < 0.0
+        neg_y = jnp.sum(dy) < 0.0
+        neg_z = jnp.sum(dz) < 0.0
+        run_seg = _build_run_seg(
+            any_hit, rows, wide, rows * 128,
+            ox, oy, oz, dx, dy, dz, ix, iy, iz,
+            neg_x, neg_y, neg_z, stack0_ref, stack1_ref,
+            chains=chains)
+
+        pid = pl.program_id(0)
+
+        def start_dma(st, buf):
+            """Kick both table copies for segment `st` into buffer `buf`
+            (both traced scalars; caller guards st >= 0)."""
+            for b in (0, 1):
+                @pl.when(buf == b)
+                def _(b=b):
+                    pltpu.make_async_copy(
+                        pairs_hbm.at[pl.ds(st * PR, PR)],
+                        pairs_buf.at[b], dma_sems.at[2 * b]).start()
+                    pltpu.make_async_copy(
+                        leaf_hbm.at[pl.ds(st * LR, LR)],
+                        leaf_buf.at[b], dma_sems.at[2 * b + 1]).start()
+
+        def wait_dma(st, buf):
+            for b in (0, 1):
+                @pl.when(buf == b)
+                def _(b=b):
+                    pltpu.make_async_copy(
+                        pairs_hbm.at[pl.ds(st * PR, PR)],
+                        pairs_buf.at[b], dma_sems.at[2 * b]).wait()
+                    pltpu.make_async_copy(
+                        leaf_hbm.at[pl.ds(st * LR, LR)],
+                        leaf_buf.at[b], dma_sems.at[2 * b + 1]).wait()
+
+        st0 = steer_ref[pid, 0]
+
+        @pl.when(st0 >= 0)
+        def _():
+            start_dma(st0, jnp.int32(0))
+
+        init = (jnp.int32(0), t_base,
+                jnp.full((rows, 128), -1, jnp.int32),
+                jnp.zeros((rows, 128), jnp.float32),
+                jnp.zeros((rows, 128), jnp.float32))
+
+        def cond(c):
+            k = c[0]
+            st = steer_ref[pid, jnp.minimum(k, K - 1)]
+            return (k < K) & (st >= 0)
+
+        def body(c):
+            k, t_cur, slot_cur, u_cur, v_cur = c
+            st = steer_ref[pid, k]
+            buf = jax.lax.rem(k, 2)
+            st_next = steer_ref[pid, jnp.minimum(k + 1, K - 1)]
+
+            @pl.when((k + 1 < K) & (st_next >= 0))
+            def _():
+                start_dma(st_next, jax.lax.rem(k + 1, 2))
+
+            wait_dma(st, buf)
+            if any_hit:
+                tk = jnp.where(slot_cur < 0, t_cur, jnp.float32(-1.0))
+            else:
+                tk = t_cur
+
+            def seg_on(b):
+                def run(_):
+                    t_k, slot_k, u_k, v_k, _it = run_seg(
+                        pairs_buf.at[b], leaf_buf.at[b], tk)
+                    return t_k, slot_k, u_k, v_k
+
+                return run
+
+            t_k, slot_k, u_k, v_k = jax.lax.switch(
+                buf, [seg_on(0), seg_on(1)], None)
+            hit_k = slot_k >= 0
+            return (k + 1,
+                    jnp.where(hit_k, t_k, t_cur),
+                    jnp.where(hit_k, slot_k, slot_cur),
+                    jnp.where(hit_k, u_k, u_cur),
+                    jnp.where(hit_k, v_k, v_cur))
+
+        _, t_cur, slot_cur, u_cur, v_cur = jax.lax.while_loop(
+            cond, body, init)
+        t_ref[:] = t_cur
+        slot_ref[:] = slot_cur
+        u_ref[:] = u_cur
+        v_ref[:] = v_cur
+
+    return kernel
+
+
 def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                           o, d, t_max, any_hit: bool, interpret: bool,
-                          rows: int = PACKET_ROWS, wide: bool = True):
+                          rows: int = PACKET_ROWS, wide: bool = True,
+                          loop: bool = False):
     """steer: (n_pk, K) int32 segment ids (-1 = skip), near-first. Rays and
     steering must cover the same (padded) packet layout. `wide` must match
     the layout the tables were built with (IDK_WIDE)."""
@@ -1455,9 +1585,10 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
     # both hit modes (CHAINS_ANY applies to the plain whole-table kernel
     # where the 12% any-hit win was measured)
     chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
+    maker = _make_kernel_steered_loop if loop else _make_kernel_steered
     outs = pl.pallas_call(
-        _make_kernel_steered(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
-                             chains=chains),
+        maker(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
+              chains=chains),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
@@ -1564,6 +1695,15 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
         [d, jnp.ones((pad, 3), d.dtype)])
     tp = t_max if pad == 0 else jnp.concatenate(
         [t_max, jnp.full((pad,), -1.0, jnp.float32)])
+    if STEER_LOOP:
+        # single-pass full coverage: the while_loop kernel's code size is
+        # K-independent, so steer EVERY intersected segment (near-first,
+        # best-t pruning carries in-kernel). No residual pass, no backstop.
+        steer, _hits = _build_steering(op, dp, tp, seg_min, seg_max,
+                                       packet, S)
+        return _pallas_trace_steered(
+            pairs_stack, leaf_stack, PR, LR, steer,
+            o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, loop=True)
     steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
                                      k_steer)
     best = _pallas_trace_steered(
@@ -1623,6 +1763,13 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
         [d, jnp.ones((pad, 3), d.dtype)])
     tp = t_max if pad == 0 else jnp.concatenate(
         [t_max, jnp.full((pad,), -1.0, jnp.float32)])
+    if STEER_LOOP:
+        steer, _hits = _build_steering(op, dp, tp, seg_min, seg_max,
+                                       packet, S)
+        h = _pallas_trace_steered(
+            pairs_stack, leaf_stack, PR, LR, steer,
+            o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, loop=True)
+        return h.slot >= 0
     steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
                                      k_steer)
     h = _pallas_trace_steered(

@@ -39,6 +39,14 @@ from ..utils.compression import decompress_normal
 from . import sampling, shading
 from .camera import Camera, generate_rays
 
+# Packed per-slot attribute channel count. Channels 31:36 carry the HIGH
+# u16 halves of the bit-pattern channels (compressed normals/tangents):
+# every table value is then a small finite float, which keeps the
+# eye-matmul SoA transpose in _fetch_attr exact (a u32 bit pattern viewed
+# as f32 can be NaN, and one NaN poisons a whole MXU output column via
+# 0*NaN terms).
+ATTR_CH = 36
+
 
 @dataclass(frozen=True)
 class PathTracerSettings:
@@ -267,10 +275,12 @@ class PathTracer:
         def _pack_attr(tri_uv, tri_gn, tri_n, tri_mat, tri_e1, tri_e2):
             mat_np = np.asarray(tri_mat).astype(np.int64)
             n_slots = mat_np.shape[0]
-            attr = np.zeros((n_slots, 32), np.float32)
+            attr = np.zeros((n_slots, ATTR_CH), np.float32)
             attr[:, 0:6] = np.asarray(tri_uv).reshape(-1, 6)
             attr[:, 6:9] = np.asarray(tri_gn)
-            attr[:, 9:12] = np.asarray(tri_n).astype(np.uint32).view(np.float32)
+            n_u = np.asarray(tri_n).astype(np.uint32)
+            attr[:, 9:12] = (n_u & 0xFFFF).astype(np.float32)
+            attr[:, 31:34] = (n_u >> 16).astype(np.float32)
             attr[:, 12:25] = mat_f[mat_np]
             attr[:, 25] = mat_np.astype(np.float32)
             # per-triangle tangent frame from UV derivatives (flat per tri —
@@ -296,8 +306,12 @@ class PathTracer:
             bl = np.linalg.norm(bit, axis=-1, keepdims=True)
             bit = np.where((bl > 1e-12) & ok[:, None],
                            bit / np.maximum(bl, 1e-12), np.cross(gn_np, fb))
-            attr[:, 26] = compress_normal(tan.astype(np.float32)).view(np.float32)
-            attr[:, 27] = compress_normal(bit.astype(np.float32)).view(np.float32)
+            tan_u = compress_normal(tan.astype(np.float32)).astype(np.uint32)
+            bit_u = compress_normal(bit.astype(np.float32)).astype(np.uint32)
+            attr[:, 26] = (tan_u & 0xFFFF).astype(np.float32)
+            attr[:, 34] = (tan_u >> 16).astype(np.float32)
+            attr[:, 27] = (bit_u & 0xFFFF).astype(np.float32)
+            attr[:, 35] = (bit_u >> 16).astype(np.float32)
             attr[:, 28] = alphas_np[mat_np]  # alpha factor
             attr[:, 29] = cutoffs_np[mat_np]
             # uv density (texture uv units per world unit): converts the
@@ -317,24 +331,26 @@ class PathTracer:
             parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
                                     src.mat, src.e1, src.e2))
         # Attribute-table layout (IDK_ATTR_ROWS, default row-padded):
-        #   rows=1: (n_slots, 128) rows — the 32 channels live in lanes
-        #     0:31 of a full 128-lane row. A per-hit fetch is then ONE
-        #     dense row gather (measured 353 Mrows/s on (L,128) tables,
-        #     tools/bench_pairs.py) + ONE transpose to SoA — vs ~40 ns/hit
-        #     (~110 ms per 2M-hit fusion, 2x/frame) for the strided
-        #     channel-first gather. Costs 4x HBM for the table (padding),
-        #     which is why it's a switch.
-        #   rows=0: channel-first (32, n_slots) — physically identical to
-        #     the (n_slots,32) column-major layout XLA chose before
+        #   rows=1: (n_slots, 128) rows — the ATTR_CH channels live in
+        #     lanes 0:ATTR_CH of a full 128-lane row. A per-hit fetch is
+        #     then ONE dense row gather + an MXU eye-matmul transpose to
+        #     SoA: 31 ms at 2M hits vs 83 ms for the strided channel-first
+        #     gather and 5.0 s(!) for a sliced-gather+XLA-transpose
+        #     (tools/bench_attr.py pad_dot_t / naive / padded128). Costs
+        #     ~3.5x HBM for the table (padding), which is why it's a
+        #     switch.
+        #   rows=0: channel-first (ATTR_CH, n_slots) — physically identical
+        #     to the (n_slots,ATTR_CH) column-major layout XLA chose before
         #     (layouts are the compiler's choice); tools/bench_attr.py
         #     records the failed packed4 middle ground.
         packed = np.concatenate(parts, axis=0)
+        assert np.isfinite(packed).all(), "attr table must stay NaN/Inf-free"
         if int(os.environ.get("IDK_ATTR_ROWS", "1")):
-            # rows padded to a sublane multiple, and never exactly 32 so
-            # the shape can't be mistaken for a channel-first (32,T) table
-            nr = max((packed.shape[0] + 7) // 8 * 8, 40)
+            # rows padded to a sublane multiple, and never exactly ATTR_CH
+            # so the shape can't be mistaken for a channel-first table
+            nr = max((packed.shape[0] + 7) // 8 * 8, 48)
             rowsp = np.zeros((nr, 128), np.float32)
-            rowsp[: packed.shape[0], :32] = packed
+            rowsp[: packed.shape[0], :ATTR_CH] = packed
             self._attr = jnp.asarray(rowsp)
         else:
             self._attr = jnp.asarray(np.ascontiguousarray(packed.T))
@@ -480,13 +496,21 @@ class PathTracer:
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
         def _fetch_attr(slot_):
-            """Per-hit slot attributes as (32, R) SoA. Row-padded tables
-            ((T,128), lanes 0:31 = channels) fetch with ONE dense row
-            gather + transpose; channel-first (32,T) tables with the
-            strided fused gather (see the layout note at _pack_attr)."""
-            if attr.shape[1] == 128 and attr.shape[0] != 32:
-                return attr[slot_, :32].T  # (R,128) row gather -> SoA
-            return attr[:, slot_]  # (32, R) channel-first
+            """Per-hit slot attributes as (ATTR_CH, R) SoA. Row-padded
+            tables ((T,128), lanes 0:ATTR_CH = channels) fetch with ONE
+            dense row gather + an MXU transpose; channel-first tables with
+            the strided fused gather (see the layout note at _pack_attr)."""
+            if attr.shape[1] == 128 and attr.shape[0] != ATTR_CH:
+                g = attr[slot_]  # (R,128) dense row gather
+                # SoA transpose ON THE MXU: eye @ g^T. A lane slice or XLA
+                # transpose of gathered rows measures 5.0 s at 2M hits; the
+                # eye contraction is 31 ms (tools/bench_attr.py pad_dot_t).
+                # Exact because every table value is a small finite float
+                # (bit-pattern channels are u16-pair encoded — see ATTR_CH).
+                eye = jnp.eye(128, dtype=jnp.float32)
+                gt = jax.lax.dot_general(eye, g, (((1,), (1,)), ((), ())))
+                return gt[:ATTR_CH]
+            return attr[:, slot_]  # (ATTR_CH, R) channel-first
 
         def _alpha_keep(hit_, state_):
             """Stochastic alpha test at a hit (ref: FirstHit/compute.glsl:
@@ -723,10 +747,16 @@ class PathTracer:
             slot = jnp.maximum(hit.slot, 0)
             u_b, v_b = hit.u, hit.v
             w_b = 1.0 - u_b - v_b
-            af = _fetch_attr(slot)  # (32, R) packed slot attributes, SoA
-            n0 = decompress_normal(af[9].view(jnp.uint32), jnp)
-            n1 = decompress_normal(af[10].view(jnp.uint32), jnp)
-            n2 = decompress_normal(af[11].view(jnp.uint32), jnp)
+            af = _fetch_attr(slot)  # (ATTR_CH, R) packed slot attrs, SoA
+
+            def _u32ch(lo_c, hi_c):
+                # u16-pair encoded bit patterns (see ATTR_CH)
+                return ((af[hi_c].astype(jnp.uint32) << 16)
+                        | af[lo_c].astype(jnp.uint32))
+
+            n0 = decompress_normal(_u32ch(9, 31), jnp)
+            n1 = decompress_normal(_u32ch(10, 32), jnp)
+            n2 = decompress_normal(_u32ch(11, 33), jnp)
             ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
             ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
             gn = jnp.stack([af[6], af[7], af[8]], -1)
@@ -767,8 +797,8 @@ class PathTracer:
                 # TBN from the per-triangle UV-derived frame, z along the
                 # interpolated shading normal
                 nl_ = mats["normal_layer"][mat_id]
-                tan = decompress_normal(af[26].view(jnp.uint32), jnp)
-                bit = decompress_normal(af[27].view(jnp.uint32), jnp)
+                tan = decompress_normal(_u32ch(26, 34), jnp)
+                bit = decompress_normal(_u32ch(27, 35), jnp)
                 if instances is not None:
                     nm_i2 = instances.normal_mat[jnp.maximum(hit_inst, 0)]
                     rot2 = (hit_inst >= 0)[..., None]

@@ -254,7 +254,18 @@ class TestWaveTracing:
         steer = pt.packet_trace_closest_steered(
             db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
             smin, smax, o, d, tm, interpret=True, rows=8)
-        for name, h in (("wave", wave), ("steer", steer)):
+        # the legacy unrolled two-pass scheme must stay exact too
+        old_loop, pt.STEER_LOOP = pt.STEER_LOOP, 0
+        try:
+            pt.packet_trace_closest_steered.clear_cache()
+            steer_unrolled = pt.packet_trace_closest_steered(
+                db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+                smin, smax, o, d, tm, interpret=True, rows=8)
+        finally:
+            pt.STEER_LOOP = old_loop
+            pt.packet_trace_closest_steered.clear_cache()
+        for name, h in (("wave", wave), ("steer", steer),
+                        ("steer_unrolled", steer_unrolled)):
             bs, hs = np.asarray(base.slot), np.asarray(h.slot)
             bt, ht = np.asarray(base.t), np.asarray(h.t)
             # hit masks must agree; slots may differ only on equal-t ties
