@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops import voxel_scatter
 from ..utils import rng as rng_mod
 from . import sampling
 
@@ -152,16 +153,22 @@ class VoxelGrid:
             rb = rb + ab * l_rad[2] * w
 
         # scatter with per-voxel MAX (flicker-free like the atomicMax path).
-        # Channel-first (4, R^3): each scattered update is a dense (4,1)
-        # column — one tile touch, no lane padding on operand or updates.
+        # On TPU the sort + one-hot-MXU kernel replaces XLA scatter-max
+        # (~90 ns/update floor, tools/bench_scatter.py); bf16 matches the
+        # reference's rgba16f voxel precision (Voxelizer.cs:12-17).
         ext = self.grid_max - self.grid_min
         cx = jnp.clip((px - self.grid_min[0]) / ext[0] * res, 0, res - 1e-3).astype(jnp.int32)
         cy = jnp.clip((py - self.grid_min[1]) / ext[1] * res, 0, res - 1e-3).astype(jnp.int32)
         cz = jnp.clip((pz - self.grid_min[2]) / ext[2] * res, 0, res - 1e-3).astype(jnp.int32)
         cell_id = (cx * res + cy) * res + cz
-        grid = jnp.zeros((4, res * res * res), jnp.float32)
         vals = jnp.stack([rr, rg, rb, jnp.ones((budget,), jnp.float32)], 0)
-        grid = grid.at[:, cell_id].max(vals)
+        n_cells = res * res * res
+        if jax.default_backend() == "tpu" and n_cells % 128 == 0:
+            grid = voxel_scatter.scatter_max_dense(cell_id, vals, n_cells,
+                                                   bf16=True)
+        else:
+            grid = jnp.zeros((4, n_cells), jnp.float32)
+            grid = grid.at[:, cell_id].max(vals)
         self.radiance = grid.reshape(4, res, res, res)
         self._build_mips()
         return self.radiance

@@ -79,8 +79,20 @@ def main():
                             unique_indices=True)
         return jnp.sum(g[:, :M])
 
+    from idkengine_tpu.ops.voxel_scatter import scatter_max_dense
+
+    @jax.jit
+    def pallas_onehot(salt, idx, vals):
+        return jnp.sum(scatter_max_dense(idx, vals + salt, M))
+
+    @jax.jit
+    def pallas_onehot_bf16(salt, idx, vals):
+        return jnp.sum(scatter_max_dense(idx, vals + salt, M, bf16=True))
+
     for name, fn in [("raw       ", raw), ("sorted    ", sorted_scatter),
-                     ("sorted+uni", sorted_unique)]:
+                     ("sorted+uni", sorted_unique),
+                     ("pallas-1hot", pallas_onehot),
+                     ("pallas-bf16", pallas_onehot_bf16)]:
         try:
             ms = timed(fn, idx, vals)
         except Exception as e:
