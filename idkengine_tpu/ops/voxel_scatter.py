@@ -15,19 +15,31 @@ TPU-native re-design (no atomics, no per-element scatter):
      last element, zero elsewhere — after this, SUM-combine == MAX-combine
      because every cell's max appears exactly once (values must be >= 0);
   3. a Pallas kernel turns the sorted, deduped update stream into dense
-     grid blocks with ONE-HOT MATMULS on the MXU: for a block of
-     SUBROWS*128 cells, a (K, SUBROWS) row-one-hot contracted against a
-     (K, 128) lane-masked value matrix yields the block's dense (SUBROWS,
-     128) update image. Each grid program owns a disjoint block (updates
-     are sorted, so per-block update ranges come from one searchsorted),
-     accumulating sub-batches of K updates with double-buffered DMA.
-     Out-of-block cells (the padding sentinel, or rounding slop) simply
-     miss the row one-hot — no explicit masking needed.
+     grid blocks with ONE-HOT MATMULS on the MXU.
 
-Every output element is the sum of at most ONE nonzero product, so the
-matmul is exact in f32, and exact-to-bf16-rounding in bf16 (the one-hot is
-exact in either dtype); bf16 halves MXU time and matches the reference's
-rgba16f storage precision.
+Kernel data layout (Mosaic requires DMA slices lane-aligned to 128 — a
+(N,1) update stream is NOT legal on hardware, only in interpret mode):
+updates are packed 128 per ROW: cells (NR,128) i32, values (C,NR,128)
+f32. Each grid program owns one dense (SUBROWS,128)-cell output block and
+walks the rows overlapping its update range (updates are sorted, so the
+range comes from one searchsorted; straddling rows are shared with the
+neighbor block — out-of-block updates simply miss the row one-hot). Per
+128-update row:
+
+  - ONE small MXU matmul `eye(128) @ stackedᵀ` transposes the row's cell
+    ids + C values from lane orientation (1,128) to sublane orientation
+    (128,1) — the TPU-native "scalarize a row" move (no cross-lane
+    gathers on the VPU);
+  - a row one-hot  M[s,j]   = (cell[j]>>7 == s)        (SUBROWS,128)
+    and a lane one-hot Lv[j,l] = (cell[j]&127 == l)*val[j] (128, C*128)
+    are built with two iota compares;
+  - `acc += M @ Lv` lands all 128 updates in the dense block in ONE
+    (SUBROWS,128)@(128,C*128) MXU contraction.
+
+Every output element is the sum of at most ONE nonzero product (cells are
+deduped), so the matmul is exact in f32, and exact-to-bf16-rounding in
+bf16 (the one-hot is exact in either dtype); bf16 halves MXU time and
+matches the reference's rgba16f voxel storage precision.
 """
 from __future__ import annotations
 
@@ -38,7 +50,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-KSUB = 1024  # updates per in-kernel sub-batch (MXU contraction depth)
+GS = 8  # update rows (of 128) per double-buffered sub-batch
 
 
 def _segmented_max_keep_last(cell_sorted, vals_sorted):
@@ -65,23 +77,31 @@ def _make_kernel(nch: int, subrows: int, compute_dtype):
         s = starts_ref[i]
         e = starts_ref[i + 1]
         base = i * subrows * 128
-        nb = (e - s + KSUB - 1) // KSUB
+        # row range covering this block's updates, 8-row (sublane-tile)
+        # aligned; straddled/extra rows contribute nothing (one-hot miss)
+        r0 = (s >> 7) & ~7
+        r1 = (e + 127) >> 7
+        nb = (r1 - r0 + GS - 1) // GS
         bufs = ((cbuf0, vbuf0), (cbuf1, vbuf1))
 
         def start_dma(j, b):
-            off = s + j * KSUB
+            row = r0 + j * GS
             cb, vb = bufs[b]
-            pltpu.make_async_copy(cells_hbm.at[pl.ds(off, KSUB)],
+            pltpu.make_async_copy(cells_hbm.at[pl.ds(row, GS)],
                                   cb, sems.at[2 * b]).start()
-            pltpu.make_async_copy(vals_hbm.at[pl.ds(off, KSUB)],
+            pltpu.make_async_copy(vals_hbm.at[:, pl.ds(row, GS)],
                                   vb, sems.at[2 * b + 1]).start()
 
         @pl.when(nb > 0)
         def _():
             start_dma(0, 0)
 
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (KSUB, 128), 1)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (KSUB, subrows), 1)
+        iota_sub = jax.lax.broadcasted_iota(jnp.int32, (subrows, 128), 0)
+        iota_lane = jax.lax.broadcasted_iota(
+            jnp.int32, (128, 128), 1).astype(jnp.float32)
+        eye = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+               ).astype(jnp.float32)
 
         def body(j, acc):
             for b in (0, 1):
@@ -89,10 +109,10 @@ def _make_kernel(nch: int, subrows: int, compute_dtype):
                 def _(b=b):
                     cb, vb = bufs[b]
                     pltpu.make_async_copy(
-                        cells_hbm.at[pl.ds(s + j * KSUB, KSUB)], cb,
+                        cells_hbm.at[pl.ds(r0 + j * GS, GS)], cb,
                         sems.at[2 * b]).wait()
                     pltpu.make_async_copy(
-                        vals_hbm.at[pl.ds(s + j * KSUB, KSUB)], vb,
+                        vals_hbm.at[:, pl.ds(r0 + j * GS, GS)], vb,
                         sems.at[2 * b + 1]).wait()
 
             @pl.when(j + 1 < nb)
@@ -105,20 +125,37 @@ def _make_kernel(nch: int, subrows: int, compute_dtype):
             def consume(b):
                 def inner(acc):
                     cb, vb = bufs[b]
-                    # out-of-block locs (incl. the sentinel padding) match
-                    # no row => contribute nothing
-                    loc = cb[:] - base                        # (KSUB,1)
-                    lane1h = jnp.where(lane_iota == (loc & 127), 1.0, 0.0)
-                    row1h = jnp.where(row_iota == (loc >> 7),
-                                      1.0, 0.0).astype(compute_dtype)
-                    outs = []
-                    for ch in range(nch):
-                        v = vb[:, ch:ch + 1]                  # (KSUB,1)
-                        mc = (lane1h * v).astype(compute_dtype)
-                        outs.append(jax.lax.dot_general(
-                            row1h, mc, (((0,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
-                    return acc + jnp.concatenate(outs, axis=1)
+                    cells = cb[:]            # (GS,128) i32
+                    vals = vb[:]             # (nch,GS,128) f32
+                    for g in range(GS):
+                        crow = jax.lax.slice(cells, (g, 0), (g + 1, 128))
+                        # lane→sublane transpose of [cells; vals] on the MXU
+                        # (per-channel (1,128) slices: leading-singleton
+                        # reshapes keep the (1,128) minor tile — no relayout)
+                        stacked = jnp.concatenate(
+                            [crow.astype(jnp.float32)]
+                            + [jax.lax.slice(
+                                vals, (ch, g, 0), (ch + 1, g + 1, 128)
+                               ).reshape(1, 128) for ch in range(nch)],
+                            axis=0)
+                        cols = jax.lax.dot_general(
+                            eye, stacked, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (128,1+nch)
+                        loc_col = jax.lax.slice(cols, (0, 0), (128, 1))
+                        lane_col = loc_col - 128.0 * jnp.floor(
+                            loc_col * (1.0 / 128.0))
+                        lane1h = (iota_lane == lane_col).astype(jnp.float32)
+                        row1h = (iota_sub == ((crow - base) >> 7)
+                                 ).astype(compute_dtype)   # (subrows,128)
+                        lv = jnp.concatenate(
+                            [lane1h * jax.lax.slice(
+                                cols, (0, 1 + ch), (128, 2 + ch))
+                             for ch in range(nch)], axis=1
+                        ).astype(compute_dtype)            # (128,nch*128)
+                        acc = acc + jax.lax.dot_general(
+                            row1h, lv, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+                    return acc
                 return inner
 
             return jax.lax.cond(jax.lax.rem(j, 2) == 0,
@@ -156,9 +193,14 @@ def scatter_max_dense(cell, vals, n_cells: int, bf16: bool = False,
     vs = jnp.stack(sorted_ops[1:], axis=-1)  # (N, C)
     vs = _segmented_max_keep_last(cs, vs)
 
-    pad = (-n) % KSUB + KSUB
+    # pack 128 updates per row (+ 2 sub-batches of sentinel slack so the
+    # kernel's 8-aligned row windows never run off the table)
+    pad = (-n) % (GS * 128) + 2 * GS * 128
     cs = jnp.concatenate([cs, jnp.full((pad,), n_cells, jnp.int32)])
     vs = jnp.concatenate([vs, jnp.zeros((pad, nch), vs.dtype)])
+    nr = cs.shape[0] // 128
+    cells_rows = cs.reshape(nr, 128)
+    vals_rows = vs.T.reshape(nch, nr, 128)
 
     bounds = jnp.arange(nblocks + 1, dtype=jnp.int32) * (subrows * 128)
     starts = jnp.searchsorted(cs, bounds, side="left").astype(jnp.int32)
@@ -169,20 +211,20 @@ def scatter_max_dense(cell, vals, n_cells: int, bf16: bool = False,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                      pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                      pl.BlockSpec(memory_space=pltpu.ANY)],
             out_specs=pl.BlockSpec((nch, 1, subrows, 128),
                                    lambda i, starts: (0, i, 0, 0)),
             scratch_shapes=[
-                pltpu.VMEM((KSUB, 1), jnp.int32),
-                pltpu.VMEM((KSUB, 1), jnp.int32),
-                pltpu.VMEM((KSUB, nch), jnp.float32),
-                pltpu.VMEM((KSUB, nch), jnp.float32),
+                pltpu.VMEM((GS, 128), jnp.int32),
+                pltpu.VMEM((GS, 128), jnp.int32),
+                pltpu.VMEM((nch, GS, 128), jnp.float32),
+                pltpu.VMEM((nch, GS, 128), jnp.float32),
                 pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((nch, nblocks, subrows, 128),
                                        jnp.float32),
         interpret=interpret,
-    )(starts, cs[:, None], vs)
+    )(starts, cells_rows, vals_rows)
     return out.reshape(nch, n_cells)
