@@ -71,6 +71,12 @@ def _segmented_max_keep_last(cell_sorted, vals_sorted):
 
 
 def _make_kernel(nch: int, subrows: int, compute_dtype):
+    # TPU dot_general defaults to bf16 MXU passes (rel err ~2^-8) — the
+    # f32 path must request HIGHEST or values round through bf16 on
+    # hardware (interpret mode computes exact f32 and hides this;
+    # caught by the IDK_TEST_TPU hardware test).
+    precision = (jax.lax.Precision.DEFAULT if compute_dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
     def kernel(starts_ref, cells_hbm, vals_hbm, out_ref,
                cbuf0, cbuf1, vbuf0, vbuf1, sems):
         i = pl.program_id(0)
@@ -129,21 +135,25 @@ def _make_kernel(nch: int, subrows: int, compute_dtype):
                     vals = vb[:]             # (nch,GS,128) f32
                     for g in range(GS):
                         crow = jax.lax.slice(cells, (g, 0), (g + 1, 128))
-                        # lane→sublane transpose of [cells; vals] on the MXU
+                        # lane id extracted in INTEGER (crow & 127) before the
+                        # float transpose: lane values < 128 are exact in f32
+                        # for any n_cells (a full f32 cell id would only be
+                        # exact below 2^24 — advisor r3 finding).
+                        lane_f = (crow & 127).astype(jnp.float32)
+                        # lane→sublane transpose of [lane; vals] on the MXU
                         # (per-channel (1,128) slices: leading-singleton
                         # reshapes keep the (1,128) minor tile — no relayout)
                         stacked = jnp.concatenate(
-                            [crow.astype(jnp.float32)]
+                            [lane_f]
                             + [jax.lax.slice(
                                 vals, (ch, g, 0), (ch + 1, g + 1, 128)
                                ).reshape(1, 128) for ch in range(nch)],
                             axis=0)
                         cols = jax.lax.dot_general(
                             eye, stacked, (((1,), (1,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)  # (128,1+nch)
-                        loc_col = jax.lax.slice(cols, (0, 0), (128, 1))
-                        lane_col = loc_col - 128.0 * jnp.floor(
-                            loc_col * (1.0 / 128.0))
+                        lane_col = jax.lax.slice(cols, (0, 0), (128, 1))
                         lane1h = (iota_lane == lane_col).astype(jnp.float32)
                         row1h = (iota_sub == ((crow - base) >> 7)
                                  ).astype(compute_dtype)   # (subrows,128)
@@ -154,6 +164,7 @@ def _make_kernel(nch: int, subrows: int, compute_dtype):
                         ).astype(compute_dtype)            # (128,nch*128)
                         acc = acc + jax.lax.dot_general(
                             row1h, lv, (((1,), (0,)), ((), ())),
+                            precision=precision,
                             preferred_element_type=jnp.float32)
                     return acc
                 return inner
@@ -211,8 +222,8 @@ def scatter_max_dense(cell, vals, n_cells: int, bf16: bool = False,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblocks,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                      pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((nch, 1, subrows, 128),
                                    lambda i, starts: (0, i, 0, 0)),
             scratch_shapes=[
