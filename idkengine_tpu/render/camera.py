@@ -54,6 +54,22 @@ class Camera:
     def projection_matrix(self, aspect: float) -> np.ndarray:
         return mu.perspective_reverse_z(np.radians(self.fov_y), aspect, self.near)
 
+    def frustum(self, width: int, height: int, far: float = 1e4):
+        """Camera frustum as a convex SAT volume (ref: Frustum.cs built
+        from the clip matrix; used for per-face shadow culling at
+        CpuPointShadow.cs:116-185). Reverse-Z has an infinite far plane,
+        so culling uses a finite `far` cap instead."""
+        from ..collision import Frustum
+
+        aspect = width / height
+        tan_half = np.tan(np.radians(self.fov_y) * 0.5)
+        r = self.right * tan_half * aspect
+        u = self.up * tan_half
+        f = self.forward
+        corner_dirs = np.stack([f - r - u, f + r - u, f + r + u, f - r + u])
+        return Frustum.from_corner_rays(self.position, corner_dirs,
+                                        self.near, far)
+
     # ------------------------------------------------------------------
     def process_inputs(self, move: np.ndarray, dt: float, look: tuple[float, float] = (0, 0)):
         """Apply look deltas + acceleration impulses (ref: Camera.cs ProcessInputs)."""

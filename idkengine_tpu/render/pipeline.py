@@ -180,8 +180,13 @@ class DeferredPipeline:
                 self._shadow_mgr = shadowmap_mod.PointShadowManager(
                     lambda o, d, tm: self._closest(o, d, tm).t, s.shadow_map_res
                 )
+            # per-face SAT culling against the camera frustum — faces the
+            # camera can't see skip their 6*res^2-ray build (ref:
+            # CpuPointShadow.cs:116-185 per-face frustum culling)
+            cam_frustum = camera.frustum(w, h)
             maps = [
-                self._shadow_mgr.update(li, self.db.lights.lights[li].position)
+                self._shadow_mgr.update(li, self.db.lights.lights[li].position,
+                                        camera_frustum=cam_frustum)
                 for li in range(n_lights)
             ]
             pcf_fn = lambda li, pts: shadowmap_mod.pcf_visibility(maps[li], pts)

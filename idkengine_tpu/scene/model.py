@@ -49,6 +49,11 @@ class Texture:
     # deferred-decode payload (async IO, scene/async_io.py); name carries
     # the decode hint (file extension) when set
     source_bytes: bytes | None = None
+    # IDK_BC5_normal_metallicRoughness channel semantics: BasisU payloads
+    # carry (X|metallic) in R and (Y|roughness) in A; the loader normalizes
+    # decoded pixels back to the standard glTF layout
+    # (gltf.apply_channel_layout). None | "bc5_normal" | "bc5_mr".
+    channel_layout: str | None = None
 
 
 @dataclass

@@ -367,6 +367,43 @@ class TestNewPasses:
         assert img.shape == (32, 32, 3)
         assert np.isfinite(img).all() and img.std() > 0
         assert pipe.rate_map.shape == (2, 2)
+        # the PCF path must pass the camera frustum through to the shadow
+        # manager so per-face SAT culling runs in production (ref:
+        # CpuPointShadow.cs:116-185); the map records which faces it traced
+        assert pipe._shadow_mgr is not None
+        assert pipe._shadow_mgr.shadows[0].face_mask is not None
+
+    def test_deferred_pipeline_pcf_culls_faces(self):
+        """A camera looking AWAY from the light must cull some cube faces
+        in the pipeline's PCF build (the round-3 gap: update() was called
+        without the frustum, so SAT culling never ran in production)."""
+        from idkengine_tpu.render.camera import Camera
+        from idkengine_tpu.render.pipeline import (DeferredPipeline,
+                                                   DeferredSettings2)
+        from idkengine_tpu.scene.procedural import cornell_box
+        from idkengine_tpu.scene.scene_db import SceneDatabase
+
+        db = SceneDatabase()
+        db.add_model(cornell_box())
+        db.build()
+        db.lights.add([278, 520, 279], [3e5, 3e5, 3e5], radius=40.0)
+        s = DeferredSettings2(
+            use_packet_tracer=False, use_taa=False, use_bloom=False,
+            use_ssao=False, shadows="pcf", shadow_map_res=16,
+        )
+        pipe = DeferredPipeline(db, 16, 16, s)
+        cam = Camera(position=np.array([278, 273, -500], np.float32),
+                     yaw=-90.0, fov_y=40.0)  # looking -z, away from the box
+        img = np.asarray(pipe.render_frame(cam))
+        assert np.isfinite(img).all()
+        mask = pipe._shadow_mgr.shadows[0].face_mask
+        assert mask.sum() < 6, mask  # some faces culled
+        # turning back toward the box must rebuild the needed faces
+        cam2 = Camera(position=np.array([278, 273, -500], np.float32),
+                      yaw=90.0, fov_y=40.0)
+        np.asarray(pipe.render_frame(cam2))
+        mask2 = pipe._shadow_mgr.shadows[0].face_mask
+        assert mask2.sum() >= mask.sum()
 
 
 def test_adaptive_rate_depth_feedback():
