@@ -31,11 +31,15 @@ class GBuffer(NamedTuple):
 
 
 def render_gbuffer(trace_fn, scene, mats, cam_params, prev_cam_params,
-                   width: int, height: int, jitter=None, mip_bias: float = 0.0):
+                   width: int, height: int, jitter=None, mip_bias: float = 0.0,
+                   slot_shading=None):
     """One G-buffer pass. trace_fn(o, d, t_max) -> Hit; jitter (2,) subpixel
     (TAA Halton jitter, ref: RasterPipeline.cs:266-299); mip_bias: texture
     LOD bias (TAA/TAAU recommend log2(render/display)-0.5,
-    ref: TAAResolve.cs:76-80)."""
+    ref: TAAResolve.cs:76-80); slot_shading: optional (n_slots, 10)
+    per-mesh override rows (scene_db.MeshShading.row order — the G-buffer
+    applies the emissive/specular/roughness biases the way the raster
+    G-buffer does, ref: GBuffer/fragment.glsl + Surface.glsl:85-96)."""
     r = width * height
     jit = jnp.zeros((2,)) + (jitter if jitter is not None else 0.5)
     o, d = generate_rays(cam_params, width, height, jnp.broadcast_to(jit, (r, 2)))
@@ -79,6 +83,11 @@ def render_gbuffer(trace_fn, scene, mats, cam_params, prev_cam_params,
     roughness = mats["roughness"][mat_id] * mr[..., 1]
     em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv, lod)
     emissive = mats["emissive"][mat_id] * em_tex[..., :3]
+    if slot_shading is not None:
+        sh = jnp.asarray(slot_shading)[slot]  # (R,10)
+        emissive = emissive + sh[:, 0:1] * albedo
+        metallic = jnp.clip(metallic + sh[:, 2], 0.0, 1.0)
+        roughness = jnp.clip(roughness + sh[:, 3], 0.0, 1.0)
 
     pos = o + d * jnp.minimum(hit.t, 1e8)[..., None]
 

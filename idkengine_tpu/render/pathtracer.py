@@ -44,8 +44,13 @@ from .camera import Camera, generate_rays
 # every table value is then a small finite float, which keeps the
 # eye-matmul SoA transpose in _fetch_attr exact (a u32 bit pattern viewed
 # as f32 can be NaN, and one NaN poisons a whole MXU output column via
-# 0*NaN terms).
-ATTR_CH = 36
+# 0*NaN terms). Channels 36:46 are the per-MESH shading overrides
+# (scene_db.MeshShading.row order — emissive/normal-strength/specular/
+# roughness/transmission/ior/absorbance biases + transmission tint flag,
+# ref: GpuMesh.cs + Surface.glsl:85-96); the row-padded table is 128 lanes
+# wide either way, so the extra channels ride the per-hit gather for free.
+ATTR_CH = 46
+_SHADE_CH = 36  # first per-mesh override channel
 
 
 @dataclass(frozen=True)
@@ -215,6 +220,7 @@ class PathTracer:
         wave_boxes=None,
         instances=None,
         inst_attr_srcs=None,
+        slot_shading=None,
     ):
         self.scene = scene
         self.packet_scene = packet_scene
@@ -272,10 +278,17 @@ class PathTracer:
             "alpha_cutoff", np.full(len(mat_f), -1.0)))
         alphas_np = np.asarray(m["base_color"])[:, 3]
 
-        def _pack_attr(tri_uv, tri_gn, tri_n, tri_mat, tri_e1, tri_e2):
+        def _pack_attr(tri_uv, tri_gn, tri_n, tri_mat, tri_e1, tri_e2,
+                       sh_rows=None):
             mat_np = np.asarray(tri_mat).astype(np.int64)
             n_slots = mat_np.shape[0]
             attr = np.zeros((n_slots, ATTR_CH), np.float32)
+            # per-mesh shading overrides (channels 36:46) — default rows
+            # are identity (ref: GpuMesh field defaults)
+            from ..scene.scene_db import MeshShading
+            attr[:, _SHADE_CH:_SHADE_CH + 10] = (
+                MeshShading.ROW_DEFAULT if sh_rows is None
+                else np.asarray(sh_rows, np.float32))
             attr[:, 0:6] = np.asarray(tri_uv).reshape(-1, 6)
             attr[:, 6:9] = np.asarray(tri_gn)
             n_u = np.asarray(tri_n).astype(np.uint32)
@@ -323,7 +336,13 @@ class PathTracer:
             return attr
 
         parts = [_pack_attr(scene.tri_uv, scene.tri_gn, scene.tri_n,
-                            scene.tri_mat, scene.tri_e1, scene.tri_e2)]
+                            scene.tri_mat, scene.tri_e1, scene.tri_e2,
+                            sh_rows=slot_shading)]
+        from ..scene.scene_db import MeshShading as _MS
+        self._has_mesh_shading = bool(
+            slot_shading is not None
+            and np.any(np.asarray(slot_shading, np.float32)
+                       != _MS.ROW_DEFAULT))
         # instanced BLAS slots follow the static slots (the slot offsets in
         # InstanceSet point here); their frames are LOCAL space — shading
         # rotates by the per-instance normal matrix
@@ -376,6 +395,27 @@ class PathTracer:
         """ref: PathTracer ResetAccumulation on camera/scene change."""
         self.accum = jnp.zeros_like(self.accum)
         self.accumulated_samples = 0
+
+    def set_slot_shading(self, slot_shading):
+        """Live per-mesh override update: rewrite attr channels 36:46 in
+        place (the reference edits GpuMesh fields from the Gui and re-uploads
+        the mesh buffer). slot_shading: (n_static_slots, 10) MeshShading
+        rows. Retraces if the shading gate flips (branches change)."""
+        rows = jnp.asarray(slot_shading, jnp.float32)
+        n = int(rows.shape[0])
+        had = self._has_mesh_shading
+        if self._attr.shape[1] == 128 and self._attr.shape[0] != ATTR_CH:
+            self._attr = self._attr.at[
+                :n, _SHADE_CH:_SHADE_CH + 10].set(rows)
+        else:
+            self._attr = self._attr.at[
+                _SHADE_CH:_SHADE_CH + 10, :n].set(rows.T)
+        from ..scene.scene_db import MeshShading as _MS
+        self._has_mesh_shading = bool(
+            np.any(np.asarray(slot_shading, np.float32) != _MS.ROW_DEFAULT))
+        if had != self._has_mesh_shading:
+            self._compiled.clear()
+        self.reset_accumulation()
 
     # ----------------------------------------------------------------
     def _render_sample(self, scene, mats, lights, env_map, cam_params, frame,
@@ -821,6 +861,12 @@ class PathTracer:
                     jnp.linalg.norm(pert, axis=-1, keepdims=True), 1e-12)
                 pert = jnp.where(
                     jnp.sum(pert * gn, axis=-1, keepdims=True) < 0.0, -pert, pert)
+                if self._has_mesh_shading:
+                    # per-mesh NormalMapStrength: lerp back toward the
+                    # interpolated normal (ref: FirstHit/compute.glsl:153)
+                    pert = ns + (pert - ns) * af[_SHADE_CH + 1][..., None]
+                    pert = pert / jnp.maximum(
+                        jnp.linalg.norm(pert, axis=-1, keepdims=True), 1e-12)
                 ns = jnp.where((nl_ >= 0)[..., None], pert, ns)
             # packed material factors (baked per slot), rows 12..24
             albedo = jnp.stack([af[12], af[13], af[14]], -1)
@@ -838,6 +884,20 @@ class PathTracer:
                 roughness = roughness * mr_tex[..., 1]
                 em_tex = _sample_atlas(mats["atlas"], mats["emissive_layer"][mat_id], uv, lod)
                 emissive = emissive * em_tex[..., :3]
+            tint_on_trans = None
+            if self._has_mesh_shading:
+                # per-mesh overrides AFTER texturing (ref:
+                # Surface.glsl:85-96 SurfaceApplyModificatons)
+                emissive = emissive + af[_SHADE_CH][..., None] * albedo
+                metallic = jnp.clip(metallic + af[_SHADE_CH + 2], 0.0, 1.0)
+                roughness = jnp.clip(roughness + af[_SHADE_CH + 3], 0.0, 1.0)
+                transmission = jnp.clip(
+                    transmission + af[_SHADE_CH + 4], 0.0, 1.0)
+                ior = jnp.maximum(ior + af[_SHADE_CH + 5], 1.0)
+                absorb = jnp.maximum(
+                    absorb + jnp.stack([af[_SHADE_CH + 6], af[_SHADE_CH + 7],
+                                        af[_SHADE_CH + 8]], -1), 0.0)
+                tint_on_trans = af[_SHADE_CH + 9] > 0.5
 
             if bounce == 0:
                 aov_albedo = jnp.where(hit_tri[..., None], albedo, aov_albedo)
@@ -960,9 +1020,16 @@ class PathTracer:
 
             state, u_lobe = rng.uniform(state)
             state, u_dir = rng.uniform2(state)
+            # transmission tint (ref: Shading.glsl:136-144): albedo when
+            # entering or volumetric, unless the mesh's TintOnTransmissive
+            # flag clears it
+            wants_tint = jnp.any(absorb > 0.0, axis=-1) | ~inside
+            if tint_on_trans is not None:
+                wants_tint = wants_tint & tint_on_trans
+            trans_tint = jnp.where(wants_tint[..., None], albedo, 1.0)
             surf = shading.sample_bsdf(
                 d, ns, albedo, metallic, roughness, transmission, ior,
-                inside, u_lobe, u_dir,
+                inside, u_lobe, u_dir, trans_tint=trans_tint,
             )
             eps = 1e-4 * jnp.maximum(1.0, jnp.linalg.norm(hp_point, axis=-1, keepdims=True))
             side = jnp.where(surf.is_transmissive[..., None], -gn, gn)

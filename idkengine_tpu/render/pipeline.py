@@ -150,6 +150,8 @@ class DeferredPipeline:
         gbuf = render_gbuffer(
             self._closest, scene, self.mats, cam_params, prev_cam, w, h,
             jitter=jnp.asarray(jitter, jnp.float32), mip_bias=bias,
+            slot_shading=(self.db.slot_shading()
+                          if hasattr(self.db, "slot_shading") else None),
         )
 
         # SSAO
@@ -361,6 +363,8 @@ class PathTracerPipeline:
             wave_boxes=scene_db.wave_set(),
             instances=scene_db.instance_set(),
             inst_attr_srcs=getattr(scene_db, "_inst_attr_srcs", None),
+            slot_shading=(scene_db.slot_shading()
+                          if hasattr(scene_db, "slot_shading") else None),
         )
         n_shard = self.settings.shard_devices
         if n_shard:

@@ -43,8 +43,13 @@ def sample_bsdf(
     inside,  # (R,) bool — ray currently inside the medium
     u_lobe,  # (R,) lobe-select uniform
     u_dir,  # (R,2) direction uniforms
+    trans_tint=None,  # (R,3) transmission lobe tint, or None for white
 ) -> SurfaceSample:
-    """Stochastic single-lobe BSDF sample (ref: Shading.glsl BSDF select)."""
+    """Stochastic single-lobe BSDF sample (ref: Shading.glsl BSDF select).
+
+    trans_tint carries the KHR_materials_transmission albedo tint (ref:
+    Shading.glsl:136-144 — Bsdf = Albedo when the surface wants tint and
+    the mesh's TintOnTransmissive flag is set, else white)."""
     cos_theta = jnp.clip(-jnp.sum(d_in * n, axis=-1), 0.0, 1.0)
 
     f0_scalar = base_fresnel(ior)
@@ -89,10 +94,11 @@ def sample_bsdf(
     # and the throughput multiplier is just the lobe tint — no 1/chance
     # firefly spikes (variance-optimal importance choice; the reference's
     # chance-divided form is equivalent in expectation).
+    t_tint = jnp.ones_like(albedo) if trans_tint is None else trans_tint
     tp = jnp.where(
         pick_spec[..., None],
         spec_tint,
-        jnp.where(pick_trans[..., None], jnp.ones_like(albedo), albedo),
+        jnp.where(pick_trans[..., None], t_tint, albedo),
     )
     return SurfaceSample(
         direction=direction,

@@ -115,7 +115,7 @@ def attach_async_textures(db, model, loader: AsyncTextureLoader,
     device atlas layer in place."""
     import numpy as np
 
-    from .gltf import decode_texture_bytes
+    from .gltf import apply_channel_layout, decode_texture_bytes
 
     for ti, tex in enumerate(model.textures):
         if tex.data is not None or not getattr(tex, "source_bytes", None):
@@ -123,7 +123,10 @@ def attach_async_textures(db, model, loader: AsyncTextureLoader,
 
         def mk(ti=ti, tex=tex):
             def decode():
-                return decode_texture_bytes(tex.source_bytes, tex.name)
+                # late decodes honor IDK_BC5 channel semantics too
+                return apply_channel_layout(
+                    decode_texture_bytes(tex.source_bytes, tex.name),
+                    getattr(tex, "channel_layout", None))
 
             def finish(img):
                 tex.data = img

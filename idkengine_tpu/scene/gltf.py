@@ -157,6 +157,42 @@ def decode_texture_bytes(raw: bytes, hint: str) -> np.ndarray | None:
     return _decode_image(raw, hint)
 
 
+def apply_channel_layout(img: np.ndarray | None,
+                         layout: str | None) -> np.ndarray | None:
+    """Normalize an IDK_BC5_normal_metallicRoughness payload to the
+    standard glTF channel layout.
+
+    The extension packs normal X / metalness in R and normal Y / roughness
+    in A so engines can transcode to BC5_RG
+    (ref: glTF-Extensions/IDK_BC5_normal_metallicRoughness/README.md:27-40;
+    consumed at ModelLoader.cs:601-610 + 966-994 — the reference
+    normalizes with GL swizzles so shaders always read metallic from R and
+    roughness from G, Surface.glsl:61-66). Here the decoded RGBA8 pixels
+    are rewritten once at load so the samplers stay branch-free:
+
+      bc5_normal: R=X, G=Y(from A), B=reconstructed Z, A=255
+      bc5_mr:     G=roughness(from A), B=metalness(from R)  (glTF layout)
+    """
+    if img is None or layout is None:
+        return img
+    out = np.array(img, copy=True)
+    if layout == "bc5_normal":
+        x = img[..., 0].astype(np.float32) * (2.0 / 255.0) - 1.0
+        y = img[..., 3].astype(np.float32) * (2.0 / 255.0) - 1.0
+        z = np.sqrt(np.maximum(1.0 - x * x - y * y, 0.0))
+        out[..., 1] = img[..., 3]
+        out[..., 2] = np.round((z * 0.5 + 0.5) * 255.0).astype(np.uint8)
+        out[..., 3] = 255
+    elif layout == "bc5_mr":
+        out[..., 1] = img[..., 3]  # roughness ← A
+        out[..., 2] = img[..., 0]  # metalness ← R
+        out[..., 0] = 255
+        out[..., 3] = 255
+    else:
+        raise ValueError(f"unknown channel layout {layout!r}")
+    return out
+
+
 def _decode_image(raw: bytes, hint: str) -> np.ndarray | None:
     """bytes → (H,W,4) uint8 or None."""
     if raw[:12].startswith(b"\xabKTX 20\xbb") or hint.endswith("ktx2"):
@@ -234,38 +270,68 @@ def load_gltf(path: str, load_textures: bool = True,
         model.materials.append(Material(name="default"))
 
     # --- textures (glTF texture -> image id; KHR_texture_basisu source) --
+    uses_bc5 = ("IDK_BC5_normal_metallicRoughness"
+                in g.get("extensionsUsed", []))
+    if ("KHR_texture_basisu" in g.get("extensionsUsed", [])
+            and not uses_bc5):
+        # ref: ModelLoader.cs:601-608 warns about the quality loss
+        log.warning(
+            "%s uses KHR_texture_basisu without "
+            "IDK_BC5_normal_metallicRoughness: normal/metallicRoughness "
+            "textures keep the lower-quality differential encoding",
+            model.name)
     if load_textures:
         img_cache: dict[int, np.ndarray | None] = {}
         srgb_targets = set()
+        normal_targets = set()
+        mr_targets = set()
         for mi, m in enumerate(g.get("materials", [])):
             pbr = m.get("pbrMetallicRoughness", {})
             if "baseColorTexture" in pbr:
                 srgb_targets.add(pbr["baseColorTexture"]["index"])
             if "emissiveTexture" in m:
                 srgb_targets.add(m["emissiveTexture"]["index"])
+            if "normalTexture" in m:
+                normal_targets.add(m["normalTexture"]["index"])
+            if "metallicRoughnessTexture" in pbr:
+                mr_targets.add(pbr["metallicRoughnessTexture"]["index"])
         for ti, tex in enumerate(g.get("textures", [])):
             src = tex.get("source")
             ext = tex.get("extensions", {})
-            if "KHR_texture_basisu" in ext:
+            basisu = "KHR_texture_basisu" in ext
+            if basisu:
                 src = ext["KHR_texture_basisu"]["source"]
+            # IDK_BC5 semantics apply to BasisU-sourced normal/MR textures
+            # (ref: ModelLoader.cs:966-994 — only KTX2 payloads transcode
+            # to BC5_RG; PNG fallbacks keep standard channels)
+            layout = None
+            if uses_bc5 and basisu:
+                if ti in normal_targets:
+                    layout = "bc5_normal"
+                elif ti in mr_targets:
+                    layout = "bc5_mr"
             data = None
             raw_bytes = None
+            cache_key = (src, layout)
             if src is not None:
-                if src not in img_cache:
+                if cache_key not in img_cache:
                     try:
                         raw, hint = gf.image_bytes(src)
                         if defer_textures:
-                            img_cache[src] = (None, raw, hint)
+                            img_cache[cache_key] = (None, raw, hint)
                         else:
-                            img_cache[src] = (_decode_image(raw, hint),
-                                              None, hint)
+                            img_cache[cache_key] = (
+                                apply_channel_layout(
+                                    _decode_image(raw, hint), layout),
+                                None, hint)
                     except Exception as e:  # missing file etc.
                         log.warning("texture %d image %s undecodable: %s", ti, src, e)
-                        img_cache[src] = (None, None, "")
-                data, raw_bytes, hint2 = img_cache[src]
+                        img_cache[cache_key] = (None, None, "")
+                data, raw_bytes, hint2 = img_cache[cache_key]
             t = Texture(name=str(src) if raw_bytes is None else
                         f"{src}.{hint2}", data=data,
-                        is_srgb=ti in srgb_targets)
+                        is_srgb=ti in srgb_targets,
+                        channel_layout=layout)
             if raw_bytes is not None:
                 t.source_bytes = raw_bytes
                 t.name = hint2  # decode hint travels in the name

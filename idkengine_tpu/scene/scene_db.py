@@ -49,6 +49,33 @@ class SceneMeta:
     packet_vmem_bytes: int = 0
 
 
+@dataclass
+class MeshShading:
+    """Per-mesh shading overrides applied AFTER material/texture fetch
+    (ref: GpuMesh.cs fields consumed by Surface.glsl:85-96
+    SurfaceApplyModificatons; e.g. Application.cs:449-457 raises
+    EmissiveBias on Sponza's lamp meshes)."""
+
+    emissive_bias: float = 0.0        # emissive += bias * albedo
+    normal_map_strength: float = 1.0  # mix(geom normal, mapped normal, s)
+    specular_bias: float = 0.0        # metallic += bias (clamped)
+    roughness_bias: float = 0.0       # roughness += bias (clamped)
+    transmission_bias: float = 0.0    # transmission += bias (clamped)
+    ior_bias: float = 0.0             # ior += bias (>= 1)
+    absorbance_bias: tuple = (0.0, 0.0, 0.0)
+    tint_on_transmissive: bool = True  # KHR_materials_transmission tint
+
+    ROW_DEFAULT = np.array([0, 1, 0, 0, 0, 0, 0, 0, 0, 1], np.float32)
+
+    def row(self) -> np.ndarray:
+        a = self.absorbance_bias
+        return np.array(
+            [self.emissive_bias, self.normal_map_strength,
+             self.specular_bias, self.roughness_bias,
+             self.transmission_bias, self.ior_bias, a[0], a[1], a[2],
+             1.0 if self.tint_on_transmissive else 0.0], np.float32)
+
+
 class SceneDatabase:
     """Concatenated scene + BVH + lights; produces device SceneArrays."""
 
@@ -71,6 +98,11 @@ class SceneDatabase:
         self._flat = None
         self._slot_tri: np.ndarray | None = None
         self.device_scene: SceneArrays | None = None
+        # per-mesh shading overrides, keyed by placement index (the i-th
+        # (model, node, prim, instance) tuple build() enumerates — the
+        # analogue of the reference's GpuModel.Meshes[i] handle)
+        self.mesh_shading: dict[int, MeshShading] = {}
+        self._tri_prim: np.ndarray | None = None
 
     # ------------------------------------------------------------------
     def add_model(self, model: Model, transform: np.ndarray | None = None, hoist: bool = True):
@@ -97,7 +129,7 @@ class SceneDatabase:
         """Concatenate all models, build the merged BLAS, flatten to device
         arrays. Call once after adding models (and again after structural
         scene changes — ref: Gui.AddModelDialog path re-running BlasesBuild)."""
-        verts, idx, norms, uvs, tri_mat = [], [], [], [], []
+        verts, idx, norms, uvs, tri_mat, tri_prim = [], [], [], [], [], []
         voff = 0
         mat_off = 0
         self._placements = []  # (model_i, node_i, prim_i, inst_mat, v_start, v_end)
@@ -132,6 +164,9 @@ class SceneDatabase:
                         tri_mat.append(
                             np.full(prim.indices.shape[0], prim.material + mat_off, np.int32)
                         )
+                        tri_prim.append(np.full(
+                            prim.indices.shape[0],
+                            len(self._placements) - 1, np.int32))
                         voff += p.shape[0]
         if not verts:
             raise ValueError("scene is empty")
@@ -140,6 +175,7 @@ class SceneDatabase:
         self._normals = np.concatenate(norms)
         self._uvs = np.concatenate(uvs)
         self._tri_mat = np.concatenate(tri_mat)
+        self._tri_prim = np.concatenate(tri_prim)
 
         self.blas = BLAS(self._verts, self._indices, self.build_settings)
         self._flat, slot_perm = thread_bvh(self.blas.nodes)
@@ -177,6 +213,41 @@ class SceneDatabase:
             self.meta.sah_cost, self.meta.epo, self.meta.build_ms,
         )
         return self.device_scene
+
+    # ------------------------------------------------------------------
+    def set_mesh_shading(self, mesh_index: int, **kwargs) -> MeshShading:
+        """Set per-mesh shading overrides (ref: GpuMesh EmissiveBias /
+        NormalMapStrength / SpecularBias / RoughnessBias / ... edited live
+        from Application.cs:449-457 and the Gui). mesh_index indexes the
+        placements build() enumerates (one per node x instance x primitive,
+        matching the reference's GpuModel.Meshes order). Consumers bake the
+        rows into their attribute tables — renderers constructed before
+        this call need refresh_mesh_shading()."""
+        ms = self.mesh_shading.get(mesh_index, MeshShading())
+        for k, v in kwargs.items():
+            if not hasattr(ms, k):
+                raise AttributeError(f"MeshShading has no field {k!r}")
+            setattr(ms, k, v)
+        self.mesh_shading[mesh_index] = ms
+        return ms
+
+    @property
+    def n_meshes(self) -> int:
+        """Placement count (valid after build())."""
+        return len(getattr(self, "_placements", []) or [])
+
+    def slot_shading(self) -> np.ndarray | None:
+        """Per-slot (n_static_slots, 10) override rows in MeshShading.row
+        order, or None when no mesh has overrides (the hot path stays
+        untouched). Instanced-model slots are not covered (they pack their
+        own attr sources); overrides there are a future extension."""
+        if not self.mesh_shading or self._slot_tri is None:
+            return None
+        table = np.tile(MeshShading.ROW_DEFAULT,
+                        (len(self._placements), 1))
+        for k, ms in self.mesh_shading.items():
+            table[k] = ms.row()
+        return table[self._tri_prim[self._slot_tri]]
 
     # ------------------------------------------------------------------
     def _build_packet_scene(self):
