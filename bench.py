@@ -75,6 +75,8 @@ def run_one():
     ))
     db.add_model(atrium(tris))
     scene = db.build()
+    t_scene = time.time()
+    print(f"# scene build {t_scene - t_setup:.1f}s", file=sys.stderr)
     mats = db.materials.soa()
     db.lights.add([0.0, 10.5, 0.0], [40.0, 38.0, 35.0], radius=0.8)
     db.lights.add([6.0, 4.0, -20.0], [20.0, 10.0, 5.0], radius=0.5)
@@ -117,8 +119,12 @@ def run_one():
             st = (settings if over is None
                   else __import__("dataclasses").replace(settings, **over))
             pt = PathTracer(scene, mats, lights, width, height, st, **kw)
+            t_init = time.time()
+            print(f"# tracer init {t_init - t_scene:.1f}s", file=sys.stderr)
             pt.render_frame(cam)  # warmup / compile
             _ = float(pt.last_rays_traced)
+            print(f"# first frame (compile+run) {time.time() - t_init:.1f}s",
+                  file=sys.stderr)
             break
         except Exception as e:
             print(f"# trace path '{path_name}' failed ({type(e).__name__}: "
@@ -152,16 +158,26 @@ def run_one():
               f"{tris//1000}k-tri atrium, {width}x{height} depth={depth}")
     if label:
         metric += f" [{label}]"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
-                "vs_baseline": round(mrays / 150.0, 4),
-            }
-        )
-    )
+    rec = {
+        "metric": metric,
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / 150.0, 4),
+    }
+    # per-pass device breakdown (VERDICT r3 #2): one profiled frame,
+    # bucketed by the Pallas kernel tags — rides the headline JSON record
+    if int(os.environ.get("IDK_BENCH_PROFILE", "1")):
+        try:
+            from idkengine_tpu.profiling import capture_device_profile
+
+            prof = capture_device_profile(lambda: pt.render_frame(cam))
+            prof["frame_ms_wall"] = round(frame_ms, 1)
+            rec["profile"] = prof
+            print(f"# device profile: {json.dumps(prof)}", file=sys.stderr)
+        except Exception as e:  # profiling must never kill the bench
+            print(f"# device profile failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+    print(json.dumps(rec))
 
 
 # ---------------------------------------------------------------------------

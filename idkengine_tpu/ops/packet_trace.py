@@ -975,7 +975,8 @@ def _make_kernel(any_hit: bool, rows: int = PACKET_ROWS, wide: bool = False,
 
 
 def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
-                  rows: int = PACKET_ROWS, debug_iters: bool = False):
+                  rows: int = PACKET_ROWS, debug_iters: bool = False,
+                  tag: str = ""):
     r = o.shape[0]
     packet = rows * 128
     pad = (-r) % packet
@@ -996,7 +997,7 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
     tm = t_max.reshape(shape8)
 
     ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    hbm = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = lambda: pl.BlockSpec(memory_space=pl.ANY)
 
     out_shapes = [
         jax.ShapeDtypeStruct(shape8, jnp.float32),
@@ -1013,6 +1014,9 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
     outs = pl.pallas_call(
         _make_kernel(any_hit, rows, wide=ps.wide, debug_iters=debug_iters,
                      chains=chains),
+        # distinct names per call-site role so device profiles attribute
+        # kernel time to passes (tools/bench_profile.py buckets on these)
+        name=f"pt_{'any' if any_hit else 'closest'}_plain_{tag or 'x'}",
         grid=(n_pk,),
         in_specs=[
             hbm(), hbm(),
@@ -1043,9 +1047,9 @@ def _pallas_trace(ps: PacketScene, o, d, t_max, any_hit: bool, interpret: bool,
 FORCE_INTERPRET = False
 
 
-@partial(jax.jit, static_argnames=("interpret", "rows"))
+@partial(jax.jit, static_argnames=("interpret", "rows", "tag"))
 def packet_trace_closest(ps, o, d, t_max, interpret: bool = False,
-                         rows: int = PACKET_ROWS) -> Hit:
+                         rows: int = PACKET_ROWS, tag: str = "") -> Hit:
     """Closest-hit packet trace. o/d: (R,3); rows*128-ray packets.
 
     ps: a PacketScene, or a tuple of them (VMEM-segmented big scene) —
@@ -1055,10 +1059,10 @@ def packet_trace_closest(ps, o, d, t_max, interpret: bool = False,
     t_max = t_max.astype(jnp.float32)
     itp = interpret or FORCE_INTERPRET
     if isinstance(ps, PacketScene):
-        return _pallas_trace(ps, o, d, t_max, False, itp, rows)
+        return _pallas_trace(ps, o, d, t_max, False, itp, rows, tag=tag)
     best = None
     for seg in ps:
-        h = _pallas_trace(seg, o, d, t_max, False, itp, rows)
+        h = _pallas_trace(seg, o, d, t_max, False, itp, rows, tag=tag)
         if best is None:
             best = h
         else:
@@ -1073,9 +1077,9 @@ def packet_trace_closest(ps, o, d, t_max, interpret: bool = False,
     return best
 
 
-@partial(jax.jit, static_argnames=("interpret", "rows"))
+@partial(jax.jit, static_argnames=("interpret", "rows", "tag"))
 def packet_trace_any(ps, o, d, t_max, interpret: bool = False,
-                     rows: int = PACKET_ROWS):
+                     rows: int = PACKET_ROWS, tag: str = ""):
     """Occlusion packet trace: True where something closer than t_max.
     Accepts a PacketScene or a tuple of segments (occluded rays turn into
     dead rays for the remaining segments)."""
@@ -1084,11 +1088,11 @@ def packet_trace_any(ps, o, d, t_max, interpret: bool = False,
     t_max = t_max.astype(jnp.float32)
     itp = interpret or FORCE_INTERPRET
     if isinstance(ps, PacketScene):
-        hit = _pallas_trace(ps, o, d, t_max, True, itp, rows)
+        hit = _pallas_trace(ps, o, d, t_max, True, itp, rows, tag=tag)
         return hit.slot >= 0
     occ = jnp.zeros((o.shape[0],), bool)
     for seg in ps:
-        hit = _pallas_trace(seg, o, d, t_max, True, itp, rows)
+        hit = _pallas_trace(seg, o, d, t_max, True, itp, rows, tag=tag)
         occ = occ | (hit.slot >= 0)
         t_max = jnp.where(occ, jnp.float32(-1.0), t_max)
     return occ
@@ -1561,7 +1565,7 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
 def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                           o, d, t_max, any_hit: bool, interpret: bool,
                           rows: int = PACKET_ROWS, wide: bool = True,
-                          loop: bool = False):
+                          loop: bool = False, tag: str = ""):
     """steer: (n_pk, K) int32 segment ids (-1 = skip), near-first. Rays and
     steering must cover the same (padded) packet layout. `wide` must match
     the layout the tables were built with (IDK_WIDE)."""
@@ -1589,14 +1593,16 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
     outs = pl.pallas_call(
         maker(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
               chains=chains),
+        name=(f"pt_{'any' if any_hit else 'closest'}"
+              f"_steer{'loop' if loop else ''}_{tag or 'x'}"),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
             in_specs=[
                 ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p,
                 ray_spec_p, ray_spec_p,
-                pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
             ],
             out_specs=[ray_spec_p, ray_spec_p, ray_spec_p, ray_spec_p],
             scratch_shapes=[
@@ -1670,12 +1676,13 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K,
     return steer, hits
 
 
-@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer", "tag"))
 def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
                                  seg_min, seg_max, o, d, t_max,
                                  interpret: bool = False,
                                  rows: int = PACKET_ROWS,
-                                 k_steer: int = STEER_K) -> Hit:
+                                 k_steer: int = STEER_K,
+                                 tag: str = "") -> Hit:
     """Closest hit over a segmented scene: one steered launch + exact
     chained fallback for ray/segment pairs the steering missed. Rays should
     be pre-sorted by segment_wave_key. Equals the chained trace exactly."""
@@ -1703,12 +1710,13 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
                                        packet, S)
         return _pallas_trace_steered(
             pairs_stack, leaf_stack, PR, LR, steer,
-            o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, loop=True)
+            o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, loop=True,
+            tag=tag)
     steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
                                      k_steer)
     best = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
-        o, d, t_max, False, itp, rows, wide=ps_segs[0].wide)
+        o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, tag=tag)
     seg_ids = jnp.arange(S, dtype=jnp.int32)
     done = jnp.any(steer[:, :, None] == seg_ids[None, None, :], axis=1)
     # residual steered pass: rebuild steering against the TIGHTENED best.t
@@ -1722,7 +1730,7 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
                                        k_steer, exclude=done)
     h2 = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer2,
-        o, d, best.t, False, itp, rows, wide=ps_segs[0].wide)
+        o, d, best.t, False, itp, rows, wide=ps_segs[0].wide, tag=tag)
     best = _merge_hits(best, h2)
     done = done | jnp.any(steer2[:, :, None] == seg_ids[None, None, :],
                           axis=1)
@@ -1733,19 +1741,21 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
         def sweep(b, s=s, pk_need=pk_need):
             need = jnp.repeat(pk_need, packet)[:R]
             tm_s = jnp.where(need, b.t, jnp.float32(-1.0))
-            h = _pallas_trace(ps_segs[s], o, d, tm_s, False, itp, rows)
+            h = _pallas_trace(ps_segs[s], o, d, tm_s, False, itp, rows,
+                              tag=tag + "fb")
             return _merge_hits(b, h)
 
         best = jax.lax.cond(jnp.any(pk_need), sweep, lambda b: b, best)
     return best
 
 
-@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer"))
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_steer", "tag"))
 def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
                              seg_min, seg_max, o, d, t_max,
                              interpret: bool = False,
                              rows: int = PACKET_ROWS,
-                             k_steer: int = STEER_K):
+                             k_steer: int = STEER_K,
+                             tag: str = ""):
     """Occlusion over a segmented scene: steered launch + exact fallback."""
     if jnp.ndim(t_max) == 0:
         t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
@@ -1768,13 +1778,14 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
                                        packet, S)
         h = _pallas_trace_steered(
             pairs_stack, leaf_stack, PR, LR, steer,
-            o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, loop=True)
+            o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, loop=True,
+            tag=tag)
         return h.slot >= 0
     steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
                                      k_steer)
     h = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
-        o, d, t_max, True, itp, rows, wide=ps_segs[0].wide)
+        o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, tag=tag)
     occ = h.slot >= 0
     seg_ids = jnp.arange(S, dtype=jnp.int32)
     done = jnp.any(steer[:, :, None] == seg_ids[None, None, :], axis=1)
@@ -1787,7 +1798,7 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
                                        k_steer, exclude=done)
     h2 = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer2,
-        o, d, tm1, True, itp, rows, wide=ps_segs[0].wide)
+        o, d, tm1, True, itp, rows, wide=ps_segs[0].wide, tag=tag)
     occ = occ | (h2.slot >= 0)
     done = done | jnp.any(steer2[:, :, None] == seg_ids[None, None, :],
                           axis=1)
@@ -1797,7 +1808,8 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
         def sweep(oc, s=s, pk_need=pk_need):
             need = jnp.repeat(pk_need, packet)[:R] & ~oc
             tm_s = jnp.where(need, t_max, jnp.float32(-1.0))
-            hs = _pallas_trace(ps_segs[s], o, d, tm_s, True, itp, rows)
+            hs = _pallas_trace(ps_segs[s], o, d, tm_s, True, itp, rows,
+                               tag=tag + "fb")
             return oc | (hs.slot >= 0)
 
         occ = jax.lax.cond(jnp.any(pk_need), sweep, lambda oc: oc, occ)

@@ -104,3 +104,62 @@ class ShardedPathTracer:
         self.pt._last_aovs = (alb, nrm, dep)
         self.pt.last_rays_traced = nrays
         return self.pt.image()
+
+
+# ---------------------------------------------------------------------------
+# Packet/steered tracer under SPMD (shard_map over the ray axis)
+# ---------------------------------------------------------------------------
+# GSPMD cannot partition a Mosaic custom call (the scalar-prefetch grids of
+# ops/packet_trace.py), so the production Pallas path is distributed with
+# shard_map: every chip runs the SAME kernel on its ray slice with the
+# segment tables replicated. No collectives anywhere in the trace — the hit
+# arrays come back sharded like the rays went in (SURVEY.md §5: pure DP,
+# comm only at image assembly).
+
+def shard_packet_closest(mesh: Mesh, wave_set, axis: str = "rays",
+                         interpret: bool = False, rows: int | None = None):
+    """Sharded `packet_trace_closest_steered` over a WaveSet: returns
+    fn(o, d, t_max) -> Hit with o/d/t_max (R,·) sharded on the ray axis.
+    R/n_devices must be a multiple of the packet size (rows*128)."""
+    from ..ops import packet_trace as _pt
+
+    rows = _pt.PACKET_ROWS if rows is None else rows
+    repl, ray = P(), P(axis)
+
+    def local(pairs, leaf, smin, smax, o, d, t_max):
+        return _pt.packet_trace_closest_steered(
+            wave_set.segs, pairs, leaf, smin, smax, o, d, t_max,
+            interpret=interpret, rows=rows, tag="spmd")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, repl, repl, repl, ray, ray, ray),
+        out_specs=jax.tree_util.tree_map(lambda _: ray, _hit_struct()),
+        check_vma=False,
+    )
+
+
+def shard_packet_any(mesh: Mesh, wave_set, axis: str = "rays",
+                     interpret: bool = False, rows: int | None = None):
+    """Sharded occlusion twin of shard_packet_closest."""
+    from ..ops import packet_trace as _pt
+
+    rows = _pt.PACKET_ROWS if rows is None else rows
+    repl, ray = P(), P(axis)
+
+    def local(pairs, leaf, smin, smax, o, d, t_max):
+        return _pt.packet_trace_any_steered(
+            wave_set.segs, pairs, leaf, smin, smax, o, d, t_max,
+            interpret=interpret, rows=rows, tag="spmd")
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(repl, repl, repl, repl, ray, ray, ray),
+        out_specs=ray,
+        check_vma=False,
+    )
+
+
+def _hit_struct():
+    from ..ops.trace import Hit
+    return Hit(t=0, slot=0, u=0, v=0)

@@ -53,3 +53,64 @@ def reset():
 def log_report():
     for name, ms in sorted(report().items()):
         log.info("pass %-28s %.2f ms", name, ms)
+
+
+# ---------------------------------------------------------------------------
+# Device-event capture (role of the reference's per-pass TimerQuery tables)
+# ---------------------------------------------------------------------------
+
+def capture_device_profile(fn, trace_dir: str = "/tmp/idk_devprof"):
+    """Run fn() under a jax.profiler trace and return {bucket: ms} of device
+    kernel time. Pallas tracers carry call-site tags in their kernel names
+    (ops/packet_trace.py `name=`): pt_closest_*_pri -> primary,
+    *_bnc -> bounce closest, pt_any_*_nee/_env -> NEE shadow rays. XLA ops
+    bucket by HLO opcode (sort/fusion/...). Used by `bench.py` to publish
+    the per-pass breakdown next to the headline number."""
+    import collections
+    import glob
+    import gzip
+    import json as _json
+    import shutil
+
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        out = fn()
+        jax.block_until_ready(out)
+    paths = sorted(glob.glob(trace_dir + "/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        return {}
+    with gzip.open(paths[-1]) as f:
+        tr = _json.load(f)
+    meta = {e.get("pid"): str(e.get("args", {}).get("name", ""))
+            for e in tr["traceEvents"]
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = [p for p, n in meta.items()
+           if "TPU" in n or "Chip" in n or "/device:" in n]
+
+    def bucket(name: str) -> str:
+        n = name.lower()
+        if "pt_closest" in n:
+            if "_pri" in n:
+                return "primary"
+            if "_bnc" in n:
+                return "bounce_closest"
+            return "trace_other"
+        if "pt_any" in n:
+            if "_nee" in n or "_env" in n:
+                return "nee"
+            return "trace_other"
+        if "scatter_max" in n or "voxel" in n:
+            return "voxelize"
+        if n.startswith("sort") or ".sort" in n or "sort." in n:
+            return "sorts"
+        if "dynamic-update-slice" in n or ("copy" in n and "fusion" not in n):
+            return "copies"
+        return "xla_glue"
+
+    by = collections.defaultdict(float)
+    for e in tr["traceEvents"]:
+        if e.get("ph") == "X" and e.get("pid") in dev:
+            by[bucket(str(e.get("name", "")))] += e.get("dur", 0) / 1000.0
+    by["total_device"] = sum(v for k, v in by.items())
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    return {k: round(v, 1) for k, v in sorted(by.items(), key=lambda kv: -kv[1])}

@@ -487,7 +487,7 @@ class PathTracer:
         use_tp = (s.use_two_phase and use_steered
                   and wave_boxes.first_stack is not None)
 
-        def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS):
+        def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS, tag=""):
             """Returns (Hit, inst_id|None)."""
             if instances is not None:
                 # two-level: static merged BLAS + per-instance BLASes
@@ -507,13 +507,14 @@ class PathTracer:
                 w_ = wave_boxes
                 return packet_trace_closest_steered(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
-                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows), None
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows,
+                    tag=tag), None
             if use_packet:
                 return packet_trace_closest(packet_scene, o_, d_, t_max_,
-                                            rows=rows), None
+                                            rows=rows, tag=tag), None
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key), None
 
-        def _occluded(o_, d_, t_max_, rows=PACKET_ROWS):
+        def _occluded(o_, d_, t_max_, rows=PACKET_ROWS, tag=""):
             if instances is not None:
                 return trace_any_two_level(
                     scene, instances.scenes, instances.inv, instances.boxes,
@@ -529,10 +530,11 @@ class PathTracer:
                 w_ = wave_boxes
                 return packet_trace_any_steered(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
-                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
+                    w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows,
+                    tag=tag)
             if use_packet:
                 return packet_trace_any(packet_scene, o_, d_, t_max_,
-                                        rows=rows)
+                                        rows=rows, tag=tag)
             return trace_any(scene, o_, d_, t_max_, max_steps=s.max_trace_steps)
 
         def _fetch_attr(slot_):
@@ -573,11 +575,12 @@ class PathTracer:
                              jnp.where(cut_ > 0.0, a_ >= cut_, u_a < a_))
             return state_, keep
 
-        def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows):
+        def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows, tag=""):
             """Closest hit with up to alpha_rounds stochastic re-traces past
             alpha-discarded surfaces. Absolute-t semantics preserved.
             Returns (state, Hit, inst_id|None)."""
-            hit_, inst_ = _closest(o_, d_, t_max_, sort_key, rows=rows)
+            hit_, inst_ = _closest(o_, d_, t_max_, sort_key, rows=rows,
+                                   tag=tag)
             if not self._has_alpha:
                 return state_, hit_, inst_
             t_base = jnp.zeros_like(t_max_)
@@ -597,7 +600,8 @@ class PathTracer:
                 o_cur = jnp.where(redo[..., None], o_cur + d_ * adv[..., None], o_cur)
                 t_base = jnp.where(redo, t_base + adv, t_base)
                 tm_rel = jnp.where(redo, t_max_ - t_base, jnp.float32(-1.0))
-                h2, i2 = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                h2, i2 = _closest(o_cur, d_, tm_rel, None, rows=rows,
+                                  tag=tag + "a")
                 hit_ = Hit(
                     t=jnp.where(redo, h2.t, hit_.t),
                     slot=jnp.where(redo, h2.slot, hit_.slot),
@@ -609,19 +613,20 @@ class PathTracer:
             return state_, Hit(t=t_base + hit_.t, slot=hit_.slot,
                                u=hit_.u, v=hit_.v), inst_
 
-        def _shadow_occluded(state_, o_, d_, t_max_, rows):
+        def _shadow_occluded(state_, o_, d_, t_max_, rows, tag=""):
             """Occlusion with alpha transparency: transparent surfaces pass
             shadow rays stochastically (ref: ShadowsRayTraced/compute.glsl:
             96-117 attenuates through alpha surfaces)."""
             if not self._has_alpha:
-                return state_, _occluded(o_, d_, t_max_, rows=rows)
+                return state_, _occluded(o_, d_, t_max_, rows=rows, tag=tag)
             occ = jnp.zeros(t_max_.shape, bool)
             t_base = jnp.zeros_like(t_max_)
             o_cur = o_
             active = t_max_ > 0.0
             for _ in range(self.alpha_rounds):
                 tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
-                h, _i = _closest(o_cur, d_, tm_rel, None, rows=rows)
+                h, _i = _closest(o_cur, d_, tm_rel, None, rows=rows,
+                                 tag=tag + "a")
                 hitm = active & (h.slot >= 0)
                 state_, keep = _alpha_keep(h, state_)
                 occ = occ | (hitm & keep)
@@ -632,7 +637,8 @@ class PathTracer:
                 t_base = jnp.where(active, t_base + adv, t_base)
             # conservative tail: anything still blocking past the last round
             tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
-            occ = occ | _occluded(o_cur, d_, tm_rel, rows=rows)
+            occ = occ | _occluded(o_cur, d_, tm_rel, rows=rows,
+                                  tag=tag + "a")
             return state_, occ
 
         def _morton_spread(v):
@@ -731,8 +737,9 @@ class PathTracer:
             t_max = jnp.where(alive, jnp.float32(3.4e38), jnp.float32(-1.0))
             sort_key = _ray_sort_key(o, d, alive) if bounce > 0 else None
             trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
-            state, hit, hit_inst = _closest_alpha(state, o, d, t_max,
-                                                  sort_key, trace_rows)
+            state, hit, hit_inst = _closest_alpha(
+                state, o, d, t_max, sort_key, trace_rows,
+                tag="pri" if bounce == 0 else "bnc")
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -967,14 +974,15 @@ class PathTracer:
                         num_keys=1, is_stable=False)
                     state, occ_s = _shadow_occluded(
                         state, jnp.stack([sox, soy, soz], -1),
-                        jnp.stack([sdx, sdy, sdz], -1), stm, trace_rows)
+                        jnp.stack([sdx, sdy, sdz], -1), stm, trace_rows,
+                        tag="nee")
                     _, occ_i = jax.lax.sort(
                         (sidx, occ_s.astype(jnp.int32)), num_keys=1,
                         is_stable=False)
                     occluded = occ_i != 0
                 else:
                     state, occluded = _shadow_occluded(
-                        state, sh_o, ldir, sh_tmax, trace_rows)
+                        state, sh_o, ldir, sh_tmax, trace_rows, tag="nee")
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)
@@ -1008,7 +1016,7 @@ class PathTracer:
                     do_enee.astype(jnp.float32))
                 state, occluded_e = _shadow_occluded(
                     state, hp_point + gn * eps_e[..., None], edir, e_tmax,
-                    trace_rows)
+                    trace_rows, tag="env")
                 brdf_e = shading.ggx_brdf(ns, -d, edir, albedo, metallic,
                                           roughness)
                 brdf_e = brdf_e * (1.0 - transmission)[..., None]

@@ -176,3 +176,66 @@ def test_dryrun_multichip_entry():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+# ---------------------------------------------------------------------------
+# Production Pallas packet/steered path under SPMD (VERDICT r3 #6/#3): the
+# scalar-prefetch kernels run per-shard via shard_map (GSPMD can't partition
+# a Mosaic custom call), tables replicated, rays sharded.
+# ---------------------------------------------------------------------------
+
+def _packet_scene_rays(n_rays=8 * 8 * 128):
+    import os
+
+    from idkengine_tpu.bvh.builder import BuildSettings
+    from idkengine_tpu.scene.procedural import atrium
+
+    os.environ.setdefault("IDK_WAVE_SEGS", "6")
+    db = SceneDatabase(BuildSettings(max_leaf_triangle_count=12,
+                                     traversal_cost=4.0))
+    db.add_model(atrium(60_000))  # big enough for several wave segments
+    db.build()
+    ws = db.wave_set()
+    assert ws is not None and len(ws.segs) >= 2
+    rng = np.random.default_rng(7)
+    lo, hi = db.blas.nodes["min"][0], db.blas.nodes["max"][0]
+    o = (lo + rng.random((n_rays, 3)) * (hi - lo)).astype(np.float32)
+    d = rng.normal(size=(n_rays, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    t_max = jnp.full((n_rays,), 3.4e38, jnp.float32)
+    return ws, jnp.asarray(o), jnp.asarray(d), t_max
+
+
+def test_sharded_steered_packet_trace_matches_single():
+    """The steered Pallas path (interpret mode on CPU) under an 8-way
+    shard_map == the single-device trace, bit-exact."""
+    from idkengine_tpu.ops import packet_trace as _pt
+    from idkengine_tpu.parallel.shard import shard_packet_any, shard_packet_closest
+
+    rows = 8  # small packets so 8 shards still hold full packets
+    ws, o, d, t_max = _packet_scene_rays(n_rays=8 * 2 * rows * 128)
+    ref = _pt.packet_trace_closest_steered(
+        ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+        o, d, t_max, interpret=True, rows=rows)
+    assert int(jnp.sum(ref.slot >= 0)) > 100  # the scene is actually hit
+
+    mesh = make_mesh(8)
+    fn = shard_packet_closest(mesh, ws, interpret=True, rows=rows)
+    hit = fn(ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+             o, d, t_max)
+    assert hit.t.sharding.is_equivalent_to(
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("rays")), hit.t.ndim)
+    np.testing.assert_array_equal(np.asarray(hit.slot), np.asarray(ref.slot))
+    np.testing.assert_allclose(np.asarray(hit.t)[np.asarray(ref.slot) >= 0],
+                               np.asarray(ref.t)[np.asarray(ref.slot) >= 0],
+                               rtol=0, atol=0)
+
+    occ_ref = _pt.packet_trace_any_steered(
+        ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+        o, d, jnp.where(ref.slot >= 0, ref.t * 1.5, 1e3), interpret=True,
+        rows=rows)
+    fn_any = shard_packet_any(mesh, ws, interpret=True, rows=rows)
+    occ = fn_any(ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+                 o, d, jnp.where(ref.slot >= 0, ref.t * 1.5, 1e3))
+    np.testing.assert_array_equal(np.asarray(occ), np.asarray(occ_ref))
