@@ -24,7 +24,12 @@
 #include <chrono>
 #include <cmath>
 #include <cstdint>
+#include <cstdio>
 #include <cstdlib>
+#if defined(__x86_64__) || defined(_M_X64)
+#include <immintrin.h>
+#define IDK_BVH_SSE 1
+#endif
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -299,11 +304,29 @@ static void radix_sort_pairs(std::vector<uint64_t>& a) {
 struct BuildScratch {
   std::vector<float> rcost;
   std::vector<uint32_t> idx;
+  std::vector<uint32_t> keys;  // per in-range position: packed 3-axis bin ids
 };
 static thread_local BuildScratch t_scratch;
 
+// Exact-sweep threshold for the hybrid build: ranges larger than this are
+// split with binned SAH (one fragment pass per level, single index array);
+// at/below it the three axis-sorted arrays are materialised locally and the
+// exact SweepSAH recursion finishes the subtree. Measured at 2.75M atrium
+// fragments on one core (min/median of 5 interleaved reps): exact sweep
+// everywhere 2260/2342 ms SAH 45.86; hybrid@64 1400/1614 ms SAH 45.01
+// (binning acts as a mild regulariser here, so quality even improves);
+// full binned 1742/2035 ms SAH 47.00. 64 is both fastest and best-quality.
+// IDK_BVH_EXACT_MAX=0 forces full binned; a huge value restores pure sweep.
+static uint32_t exact_sweep_max() {
+  if (const char* e = std::getenv("IDK_BVH_EXACT_MAX")) {
+    long v = std::atol(e);
+    if (v >= 0) return (uint32_t)v;
+  }
+  return 64;
+}
+
 struct Builder {
-  const std::vector<Fragment>& frags;
+  std::vector<Fragment>& frags;  // binned phase partitions records in place
   uint32_t max_leaf;
   float trav_cost;   // SAH traversal cost relative to intersection cost 1
   std::vector<BlasNode> nodes;     // preallocated 2n; n_nodes = high water
@@ -318,26 +341,43 @@ struct Builder {
   // Threaded recursion threshold (ref: BLAS.cs:221-231 spawns ≥2^13 tris).
   static constexpr uint32_t kSpawnMin = 1u << 13;
 
-  Builder(const std::vector<Fragment>& f, uint32_t ml, float tc)
+  Builder(std::vector<Fragment>& f, uint32_t ml, float tc)
       : frags(f), max_leaf(ml), trav_cost(tc) {}
+
+  uint32_t exact_max = 1024;
 
   void build() {
     const uint32_t n = (uint32_t)frags.size();
     max_threads = build_threads();
+    exact_max = exact_sweep_max();
     side.resize(n);
-    // 3 axis-sorted index arrays by centroid: float→key radix sorts, one
-    // thread per axis (ref: BLAS.cs GetBuildData:128-157 — 3 radix sorts
-    // as parallel tasks).
-    parallel_for(3, [&](uint32_t a) {
-      std::vector<uint64_t> pairs(n);
-      for (uint32_t i = 0; i < n; i++)
-        pairs[i] = ((uint64_t)float_to_key(frags[i].centroid[(int)a]) << 32) | i;
-      radix_sort_pairs(pairs);
-      axis_idx[a].resize(n);
-      for (uint32_t i = 0; i < n; i++) axis_idx[a][i] = (uint32_t)pairs[i];
-    });
     nodes.resize(2 * n);
-    build_range(0, 0, n);
+    if (n <= exact_max) {
+      // Small build: 3 axis-sorted index arrays by centroid (float→key radix
+      // sorts, one thread per axis; ref: BLAS.cs GetBuildData:128-157) feed
+      // the exact SweepSAH recursion directly.
+      parallel_for(3, [&](uint32_t a) {
+        std::vector<uint64_t> pairs(n);
+        for (uint32_t i = 0; i < n; i++)
+          pairs[i] = ((uint64_t)float_to_key(frags[i].centroid[(int)a]) << 32) | i;
+        radix_sort_pairs(pairs);
+        axis_idx[a].resize(n);
+        for (uint32_t i = 0; i < n; i++) axis_idx[a][i] = (uint32_t)pairs[i];
+      });
+      build_range(0, 0, n);
+    } else {
+      // Hybrid build: binned SAH over a single identity-ordered index array
+      // at the top (no sorted-axis invariant to maintain), exact sweep for
+      // subtrees ≤ exact_max (axis orders sorted on demand per subtree).
+      for (int a = 0; a < 3; a++) axis_idx[a].resize(n);
+      for (uint32_t i = 0; i < n; i++) axis_idx[0][i] = i;
+      AABB box, cbox;
+      for (uint32_t i = 0; i < n; i++) {
+        box.grow(frags[i].box);
+        cbox.grow(frags[i].centroid);
+      }
+      binned_range(0, 0, n, box, cbox);
+    }
     nodes.resize(n_nodes.load());
   }
 
@@ -452,6 +492,194 @@ struct Builder {
       build_range(left + 1, best_split, hi);
     }
   }
+
+  // ---- Binned top phase -----------------------------------------------
+  static constexpr int kBins = 32;  // 5 bits/axis pack into one u32 key
+
+  // Materialise the three axis-sorted arrays over [lo,hi) so the exact
+  // sweep recursion can take over the subtree. Ties broken by fragment id
+  // so the build stays deterministic (radix sort in the small path is
+  // stable by construction).
+  void sort_local_axes(uint32_t lo, uint32_t hi) {
+    for (int a = 1; a < 3; a++)
+      std::copy(axis_idx[0].begin() + lo, axis_idx[0].begin() + hi,
+                axis_idx[a].begin() + lo);
+    for (int a = 0; a < 3; a++)
+      std::sort(axis_idx[a].begin() + lo, axis_idx[a].begin() + hi,
+                [&, a](uint32_t x, uint32_t y) {
+                  float cx = frags[x].centroid[a], cy = frags[y].centroid[a];
+                  return cx < cy || (cx == cy && x < y);
+                });
+  }
+
+  // Binned SAH split (Wald 2007 style): ONE pass over the range's fragments
+  // bins them along the dominant centroid-extent axis (geometric box,
+  // centroid box, count per bin); the SAH sweep then runs over bin
+  // boundaries instead of elements, the partition is a two-pointer swap of
+  // (id, key) pairs, and the children's boxes come from the bins — so no
+  // per-level range_box recompute and no sorted-axis invariant to maintain.
+  // Replaces the exact sweep only above exact_max; the reference's quality
+  // bar (BLAS.cs TrySplit exact sweep) is preserved below it.
+  void binned_range(uint32_t node_index, uint32_t lo, uint32_t hi,
+                    const AABB& box, const AABB& cbox) {
+    const uint32_t n = hi - lo;
+    if (n <= 1) {
+      set_node(node_index, box, lo, n);
+      return;
+    }
+    if (exact_max && n <= exact_max) {
+      sort_local_axes(lo, hi);
+      build_range(node_index, lo, hi);
+      return;
+    }
+    std::vector<uint32_t>& ids = axis_idx[0];
+    struct Bin { AABB box, cbox; uint32_t count = 0; };
+    // Fewer bins for small ranges: the per-call bin zero-init dominates at
+    // the tree's bottom, and with n ≈ nb the bin boundaries approach the
+    // exact per-element sweep anyway.
+    const int nb = n >= 2048 ? kBins : (n >= 256 ? 16 : 8);
+    Vec3 ext = cbox.extent();
+    float scale[3];
+    for (int a = 0; a < 3; a++)
+      scale[a] = ext[a] > 1e-30f ? (float)nb / ext[a] : 0.0f;
+    std::vector<uint32_t>& keys = t_scratch.keys;
+    if (keys.size() < n) keys.resize(n);
+    Bin bins[3][kBins];
+#ifdef IDK_BVH_SSE
+    // SIMD bin accumulation: a Fragment is 10 contiguous floats
+    // (box.mn, box.mx, centroid, tri-as-bits), so three unaligned 4-lane
+    // loads cover it and each bin grow is 4 min/max ops instead of 12
+    // scalar ones. 4th lanes carry neighbouring fields (mx.x, centroid.x,
+    // tri bits) — never read back.
+    struct alignas(16) BinV { __m128 bmn, bmx, cmn, cmx; uint32_t count; };
+    BinV bv[3][kBins];
+    const __m128 vinf = _mm_set1_ps(1e30f), vninf = _mm_set1_ps(-1e30f);
+    for (int a = 0; a < 3; a++)
+      for (int b = 0; b < nb; b++)
+        bv[a][b] = {vinf, vninf, vinf, vninf, 0};
+    static_assert(sizeof(Fragment) == 40, "SIMD loads assume 10-float layout");
+    for (uint32_t i = 0; i < n; i++) {
+      const float* fp = (const float*)&frags[ids[lo + i]];
+      __m128 fmn = _mm_loadu_ps(fp + 0);
+      __m128 fmx = _mm_loadu_ps(fp + 3);
+      __m128 fc = _mm_loadu_ps(fp + 6);
+      uint32_t key = 0;
+      for (int a = 0; a < 3; a++) {
+        int b = (int)((fp[6 + a] - cbox.mn[a]) * scale[a]);
+        b = std::min(std::max(b, 0), nb - 1);
+        BinV& bn = bv[a][b];
+        bn.bmn = _mm_min_ps(bn.bmn, fmn);
+        bn.bmx = _mm_max_ps(bn.bmx, fmx);
+        bn.cmn = _mm_min_ps(bn.cmn, fc);
+        bn.cmx = _mm_max_ps(bn.cmx, fc);
+        bn.count++;
+        key |= (uint32_t)b << (5 * a);
+      }
+      keys[i] = key;
+    }
+    for (int a = 0; a < 3; a++)
+      for (int b = 0; b < nb; b++) {
+        float t[4];
+        Bin& dst = bins[a][b];
+        _mm_storeu_ps(t, bv[a][b].bmn); dst.box.mn = {t[0], t[1], t[2]};
+        _mm_storeu_ps(t, bv[a][b].bmx); dst.box.mx = {t[0], t[1], t[2]};
+        _mm_storeu_ps(t, bv[a][b].cmn); dst.cbox.mn = {t[0], t[1], t[2]};
+        _mm_storeu_ps(t, bv[a][b].cmx); dst.cbox.mx = {t[0], t[1], t[2]};
+        dst.count = bv[a][b].count;
+      }
+#else
+    for (uint32_t i = 0; i < n; i++) {
+      const Fragment& f = frags[ids[lo + i]];
+      uint32_t key = 0;
+      for (int a = 0; a < 3; a++) {
+        int b = (int)((f.centroid[a] - cbox.mn[a]) * scale[a]);
+        b = std::min(std::max(b, 0), nb - 1);
+        Bin& bn = bins[a][b];
+        bn.box.grow(f.box);
+        bn.cbox.grow(f.centroid);
+        bn.count++;
+        key |= (uint32_t)b << (5 * a);
+      }
+      keys[i] = key;
+    }
+#endif
+    float best_cost = 3.4e38f;
+    int best_axis = -1, best_bin = -1;
+    for (int a = 0; a < 3; a++) {
+      if (scale[a] == 0.0f) continue;
+      float rc[kBins];
+      AABB right;
+      uint32_t rcnt = 0;
+      for (int b = nb - 1; b >= 1; b--) {
+        right.grow(bins[a][b].box);
+        rcnt += bins[a][b].count;
+        rc[b] = right.half_area() * (float)rcnt;
+      }
+      AABB left;
+      uint32_t lcnt = 0;
+      for (int b = 0; b < nb - 1; b++) {
+        left.grow(bins[a][b].box);
+        lcnt += bins[a][b].count;
+        if (lcnt == 0 || lcnt == n) continue;
+        float c = left.half_area() * (float)lcnt + rc[b + 1];
+        if (c < best_cost) { best_cost = c; best_axis = a; best_bin = b; }
+      }
+    }
+    // Same SAH leaf criterion as the exact sweep (ref: BLAS.cs TrySplit).
+    float parent_ha = std::max(box.half_area(), 1e-30f);
+    if (n <= max_leaf &&
+        (best_axis < 0 || (float)n <= trav_cost + best_cost / parent_ha)) {
+      set_node(node_index, box, lo, n);
+      return;
+    }
+    uint32_t mid;
+    AABB lbox, lcb, rbox, rcb;
+    if (best_axis < 0) {
+      // All centroids coincide on every axis (or no bin boundary separates
+      // them): positional median split.
+      mid = lo + n / 2;
+      for (uint32_t k = lo; k < mid; k++) {
+        lbox.grow(frags[ids[k]].box); lcb.grow(frags[ids[k]].centroid);
+      }
+      for (uint32_t k = mid; k < hi; k++) {
+        rbox.grow(frags[ids[k]].box); rcb.grow(frags[ids[k]].centroid);
+      }
+    } else {
+      // Two-pointer partition of (id, key) by chosen-axis bin.
+      const int shift = 5 * best_axis;
+      uint32_t i = 0, j = n;
+      while (i < j) {
+        if ((int)((keys[i] >> shift) & 31u) <= best_bin) {
+          i++;
+        } else {
+          --j;
+          std::swap(keys[i], keys[j]);
+          std::swap(ids[lo + i], ids[lo + j]);
+        }
+      }
+      mid = lo + i;
+      for (int b = 0; b <= best_bin; b++) {
+        lbox.grow(bins[best_axis][b].box); lcb.grow(bins[best_axis][b].cbox);
+      }
+      for (int b = best_bin + 1; b < nb; b++) {
+        rbox.grow(bins[best_axis][b].box); rcb.grow(bins[best_axis][b].cbox);
+      }
+    }
+    uint32_t left = alloc_pair();
+    set_node(node_index, box, left, 0);
+    if (n >= kSpawnMin && live_threads.load(std::memory_order_relaxed) < max_threads - 1) {
+      live_threads.fetch_add(1);
+      std::thread t([this, left, lo, mid, lbox, lcb] {
+        binned_range(left, lo, mid, lbox, lcb);
+        live_threads.fetch_sub(1);
+      });
+      binned_range(left + 1, mid, hi, rbox, rcb);
+      t.join();
+    } else {
+      binned_range(left, lo, mid, lbox, lcb);
+      binned_range(left + 1, mid, hi, rbox, rcb);
+    }
+  }
 };
 
 // ---------------------------------------------------------------------------
@@ -524,9 +752,18 @@ void* blas_build(const float* verts, uint32_t nverts, const uint32_t* idx,
                  float presplit_factor) {
   (void)nverts;
   auto t0 = std::chrono::steady_clock::now();
+  const bool profile = std::getenv("IDK_BVH_PROFILE") != nullptr;
+  auto lap = [&, t = t0](const char* what) mutable {
+    if (!profile) return;
+    auto now = std::chrono::steady_clock::now();
+    std::fprintf(stderr, "[bvh] %s %.0f ms\n", what,
+                 std::chrono::duration<double, std::milli>(now - t).count());
+    t = now;
+  };
   auto* h = new BlasHandle();
   std::vector<Fragment> frags;
   make_fragments(verts, idx, ntris, presplit_factor, frags);
+  lap("fragments");
   if (frags.empty()) {
     // Empty tree: single inverted-AABB node. count==0 normally means
     // "interior", so traversal must (and does) reject the root via the
@@ -541,6 +778,7 @@ void* blas_build(const float* verts, uint32_t nverts, const uint32_t* idx,
   }
   Builder b(frags, std::max(max_leaf, 1u), trav_cost);
   b.build();
+  lap("recursion");
   h->nodes = std::move(b.nodes);
   // De-duplicate shared fragments inside each leaf (pre-split triangles may
   // produce several fragments landing in the same leaf;
@@ -560,8 +798,10 @@ void* blas_build(const float* verts, uint32_t nverts, const uint32_t* idx,
     nd.left_or_first = first;
     nd.count = (uint32_t)h->tri_indices.size() - first;
   }
+  lap("leaf dedup");
   compute_parents_depth(h);
   h->sah_cost = compute_sah(h->nodes, trav_cost);
+  lap("parents+sah");
   h->build_ms = std::chrono::duration<double, std::milli>(std::chrono::steady_clock::now() - t0).count();
   return h;
 }
