@@ -255,6 +255,9 @@ class PathTracer:
             or np.any(np.asarray(materials.get("emissive_layer", [-1])) >= 0)
         )
         self.accum = jnp.zeros((height * width, 3), jnp.float32)
+        # running mean of per-sample luminance^2 — feeds the SVGF denoiser's
+        # per-pixel variance of the accumulated mean (render/denoise.py)
+        self.accum_lum2 = jnp.zeros((height * width,), jnp.float32)
         self.accumulated_samples = 0
         self._frame = 0
         self._compiled = {}
@@ -394,6 +397,7 @@ class PathTracer:
     def reset_accumulation(self):
         """ref: PathTracer ResetAccumulation on camera/scene change."""
         self.accum = jnp.zeros_like(self.accum)
+        self.accum_lum2 = jnp.zeros_like(self.accum_lum2)
         self.accumulated_samples = 0
 
     def set_slot_shading(self, slot_shading):
@@ -1110,6 +1114,9 @@ class PathTracer:
             )
             n = self.accumulated_samples
             self.accum = (self.accum * n + radiance) / (n + 1)
+            lum = (radiance[:, 0] * 0.2126 + radiance[:, 1] * 0.7152
+                   + radiance[:, 2] * 0.0722)
+            self.accum_lum2 = (self.accum_lum2 * n + lum * lum) / (n + 1)
             self.accumulated_samples = n + 1
             self._frame += 1
             self._last_aovs = (alb, nrm, dep)
@@ -1125,3 +1132,12 @@ class PathTracer:
     def image(self) -> jnp.ndarray:
         """(H,W,3) accumulated linear radiance."""
         return self.accum.reshape(self.height, self.width, 3)
+
+    def variance(self) -> jnp.ndarray:
+        """(H,W) per-pixel variance of the accumulated MEAN luminance:
+        (E[l^2] - E[l]^2) / n. Drives the SVGF denoiser's colour sigma."""
+        n = max(self.accumulated_samples, 1)
+        mean_l = (self.accum[:, 0] * 0.2126 + self.accum[:, 1] * 0.7152
+                  + self.accum[:, 2] * 0.0722)
+        v = jnp.maximum(self.accum_lum2 - mean_l * mean_l, 0.0) / n
+        return v.reshape(self.height, self.width)

@@ -411,7 +411,7 @@ class PathTracerPipeline:
         if s.output == "denoised" and self.pt.accumulated_samples >= s.denoise_at_samples:
             color = denoise_mod.atrous_denoise(
                 img, alb.reshape(h, w, 3), nrm.reshape(h, w, 3), dep.reshape(h, w),
-                s.denoise,
+                s.denoise, variance=self.pt.variance(),
             )
         if s.use_bloom:
             color = color + bloom_mod.bloom(color, s.bloom)

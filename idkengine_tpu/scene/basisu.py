@@ -182,8 +182,19 @@ def parse_basis_ktx2(data: bytes) -> dict:
         raise ValueError(f"not BasisLZ (scheme={scheme})")
     color_model = data[dfd_off + 12] if dfd_len >= 13 else 0
     if color_model != 163:  # KDF_DF_MODEL_ETC1S
+        # UASTC (model 166) is deliberately unimplemented: a round-4 scan of
+        # every KTX2 the reference ships (76 files across HelmetCompressed/
+        # SponzaCompressed/LucyCompressed + engine resources) found ALL of
+        # them ETC1S/BasisLZ (scheme 1, model 163) — the reference's libktx
+        # UASTC path (Ktx2Texture.cs) is never exercised by its own assets.
+        # With no UASTC fixture, encoder, or spec available in this
+        # environment, a from-memory implementation of the 19-mode block
+        # format would be unverifiable; failing loudly is the honest
+        # behaviour. (PARITY.md "KTX2/UASTC" records the decision.)
         raise ValueError(f"unsupported DFD color model {color_model} "
-                         "(only ETC1S; UASTC not implemented)")
+                         "(only ETC1S; UASTC deliberately unimplemented — "
+                         "no UASTC asset/spec/encoder exists here to "
+                         "validate against; see PARITY.md)")
     sgd = data[sgd_off:sgd_off + sgd_len]
     (ep_count, sel_count, ep_bytes, sel_bytes, tab_bytes,
      _ext_bytes) = struct.unpack_from("<2H4I", sgd, 0)
