@@ -148,9 +148,14 @@ def main():
     device_ms("steer_build", lambda s: steer_fn(op_ + s, dp_, tp_), 0.0)
 
     # --- stage 4: steered closest (loop kernel; includes steering build) ---
-    closest_fn = jax.jit(lambda o_, d_, t_: packet_trace_closest_steered(
-        ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
-        o_, d_, t_, rows=rows, tag="bnc"))
+    # packet_trace_* are already jitted with the stacks as ARGUMENTS — no
+    # outer jit (closing over the scene arrays bakes them into the HLO as
+    # constants and the remote compile service rejects the body at 2.8M).
+    def closest_fn(o_, d_, t_):
+        return packet_trace_closest_steered(
+            ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+            o_, d_, t_, rows=rows, tag="bnc")
+
     device_ms("closest+steer", lambda s: closest_fn(o2s + s, d2s, tm2s), 0.0)
 
     # --- stage 5: steered any (NEE; includes steering build) ---
@@ -159,9 +164,12 @@ def main():
     ldist = jnp.linalg.norm(ldir, axis=-1)
     ldirn = ldir / jnp.maximum(ldist[:, None], 1e-6)
     tm_nee = jnp.where(alive[perm], ldist - 1e-2, -1.0)
-    any_fn = jax.jit(lambda o_, d_, t_: packet_trace_any_steered(
-        ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
-        o_, d_, t_, rows=rows, tag="nee"))
+
+    def any_fn(o_, d_, t_):
+        return packet_trace_any_steered(
+            ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+            o_, d_, t_, rows=rows, tag="nee")
+
     device_ms("any+steer", lambda s: any_fn(o2s + s, ldirn, tm_nee), 0.0)
 
     # --- stage 6: attr fetch (pad_dot_t) on the bounce hits ---
@@ -170,15 +178,15 @@ def main():
     T = sc.tri_uv.shape[0]
     tblp = jnp.zeros((T, 128), jnp.float32)
 
-    def attr_fn(sl):
-        g = tblp[sl]
+    @jax.jit
+    def attr_jit(tbl, sl):
+        g = tbl[sl]
         eye = jnp.eye(128, dtype=jnp.float32)
         gt = jax.lax.dot_general(eye, g, (((1,), (1,)), ((), ())))
         return gt[:ATTR_CH]
 
-    attr_jit = jax.jit(attr_fn)
     device_ms("attr_fetch", lambda s: attr_jit(
-        jnp.minimum(slots + jnp.int32(s), T - 1)), 0.0)
+        tblp, jnp.minimum(slots + jnp.int32(s), T - 1)), 0.0)
 
 
 if __name__ == "__main__":
