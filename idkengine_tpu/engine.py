@@ -87,6 +87,52 @@ class Engine:
         """Runtime Rasterizer↔PathTracer switch (ref: Application mode request)."""
         self.settings.mode = mode
 
+    def set_option(self, path: str, value):
+        """Live settings toggle — the reference Gui's role (Gui.cs exposes
+        every settings knob with accumulation-reset semantics). `path` is a
+        dotted path into the EngineSettings tree ('deferred.use_taa',
+        'pt_pipeline.output', 'pt.ray_depth'); returns the previous value.
+        The affected pipeline is rebuilt lazily on the next frame (scene/
+        BVH state is untouched), matching the reference's reset-on-change."""
+        import dataclasses
+
+        parts = path.split(".")
+        chain = [self.settings]
+        for p in parts[:-1]:
+            chain.append(getattr(chain[-1], p))
+        leaf = chain[-1]
+        if not hasattr(leaf, parts[-1]):
+            raise AttributeError(f"no setting {path!r}")
+        prev = getattr(leaf, parts[-1])
+        try:
+            setattr(leaf, parts[-1], value)
+        except dataclasses.FrozenInstanceError:
+            # frozen leaves (e.g. PathTracerSettings doubles as a jit key):
+            # rebuild the frozen node and re-attach it to its parent
+            new_leaf = dataclasses.replace(leaf, **{parts[-1]: value})
+            setattr(chain[-2], parts[-2] if len(parts) > 1 else path,
+                    new_leaf)
+        root = parts[0]
+        if root == "deferred":
+            self._pipelines.pop(RenderMode.RASTERIZER, None)
+        if root in ("pt", "pt_pipeline"):
+            self._pipelines.pop(RenderMode.PATH_TRACER, None)
+        if root == "mode":
+            pass  # plain field, no pipeline invalidation needed
+        self._accum_dirty = True
+        log.info("set %s: %s -> %s", path, prev, value)
+        return prev
+
+    def toggle_option(self, path: str) -> bool:
+        """Flip a boolean setting; returns the NEW value."""
+        parts = path.split(".")
+        obj = self.settings
+        for p in parts[:-1]:
+            obj = getattr(obj, p)
+        cur = getattr(obj, parts[-1])
+        self.set_option(path, not cur)
+        return not cur
+
     def add_model_runtime(self, model, transform=None) -> int:
         """Drop a model into the running scene (ref: OnFilesDrop →
         Gui.AddModelDialog → ModelManager.Add): only the new model's BLAS

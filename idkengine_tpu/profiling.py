@@ -89,6 +89,12 @@ def capture_device_profile(fn, trace_dir: str = "/tmp/idk_devprof"):
 
     def bucket(name: str) -> str:
         n = name.lower()
+        if n.startswith("jit_"):
+            # module-level jit events SPAN their child kernels/fusions —
+            # counting them double-books every pass as glue (the round-4
+            # frame-event dump showed jit__render_sample = the whole frame
+            # being bucketed into xla_glue)
+            return "_parent"
         if "pt_closest" in n:
             if "_pri" in n:
                 return "primary"
@@ -111,6 +117,7 @@ def capture_device_profile(fn, trace_dir: str = "/tmp/idk_devprof"):
     for e in tr["traceEvents"]:
         if e.get("ph") == "X" and e.get("pid") in dev:
             by[bucket(str(e.get("name", "")))] += e.get("dur", 0) / 1000.0
+    by.pop("_parent", None)
     by["total_device"] = sum(v for k, v in by.items())
     shutil.rmtree(trace_dir, ignore_errors=True)
     return {k: round(v, 1) for k, v in sorted(by.items(), key=lambda kv: -kv[1])}

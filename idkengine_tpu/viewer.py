@@ -54,12 +54,67 @@ class Viewer:
         self.root.protocol("WM_DELETE_WINDOW", self.stop)
         self.picked = None
 
+    # Live settings surface — the reference Gui's toggle role (Gui.cs):
+    # number keys flip the active pipeline's passes, m switches the render
+    # mode, o cycles the PT output selector, F5/F9 save/load the config.
+    # Every toggle goes through Engine.set_option (accumulation reset +
+    # lazy pipeline rebuild, like the reference's reset-on-change).
+    _TOGGLES = {
+        "1": ("deferred.use_taa", "pt_pipeline.use_bloom"),
+        "2": ("deferred.use_bloom", "pt_pipeline.adaptive_rate"),
+        "3": ("deferred.use_ssao", None),
+        "4": ("deferred.use_ssr", None),
+        "5": ("deferred.use_vxgi", None),
+        "6": ("deferred.use_volumetric", None),
+        "7": ("deferred.use_oit", None),
+    }
+    _PT_OUTPUTS = ("denoised", "noisy", "albedo", "normal")
+
+    def _handle_toggle(self, k: str) -> bool:
+        from .engine import RenderMode, load_config, save_config
+
+        eng = self.engine
+        is_pt = eng.settings.mode == RenderMode.PATH_TRACER
+        if k == "m":
+            eng.set_mode(RenderMode.RASTERIZER if is_pt
+                         else RenderMode.PATH_TRACER)
+            log.info("mode -> %s", eng.settings.mode.value)
+            return True
+        if k == "o" and is_pt:
+            cur = eng.settings.pt_pipeline.output
+            nxt = self._PT_OUTPUTS[
+                (self._PT_OUTPUTS.index(cur) + 1) % len(self._PT_OUTPUTS)
+                if cur in self._PT_OUTPUTS else 0]
+            eng.set_option("pt_pipeline.output", nxt)
+            return True
+        if k == "f5":
+            save_config(eng.settings, "viewer_config.json")
+            log.info("config saved -> viewer_config.json")
+            return True
+        if k == "f9":
+            try:
+                eng.settings = load_config("viewer_config.json")
+                eng._pipelines.clear()
+                eng._accum_dirty = True
+                log.info("config loaded")
+            except FileNotFoundError:
+                log.warning("no viewer_config.json to load")
+            return True
+        if k in self._TOGGLES:
+            path = self._TOGGLES[k][1 if is_pt else 0]
+            if path is not None:
+                self.engine.toggle_option(path)
+            return True
+        return False
+
     # -- input snapshots (ref: Keyboard.cs/Mouse.cs polled state) ---------
     def _on_press(self, ev):
         k = ev.keysym.lower()
         self._down.add(k)
         if k == "escape":
             self.stop()
+            return
+        self._handle_toggle(k)
 
     def _on_release(self, ev):
         self._down.discard(ev.keysym.lower())

@@ -773,6 +773,60 @@ def test_viewer_input_and_ppm_headless():
         pass
 
 
+def test_live_settings_surface():
+    """Engine.set_option/toggle_option + the viewer's key->toggle map: the
+    reference Gui's live-knob role (Gui.cs) with accumulation-reset
+    semantics. Frozen leaves (PathTracerSettings is a jit key) rebuild via
+    dataclasses.replace; pipelines invalidate lazily; a toggled render
+    still produces a frame."""
+    import numpy as np
+
+    from idkengine_tpu import viewer as viewer_mod
+    from idkengine_tpu.engine import Engine, EngineSettings, RenderMode
+    from idkengine_tpu.scene.procedural import cornell_box
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    db = SceneDatabase()
+    db.add_model(cornell_box())
+    db.build()
+    db.lights.add([278, 520, 279], [3e5, 3e5, 3e5], radius=40.0)
+    s = EngineSettings(width=16, height=16, mode=RenderMode.RASTERIZER)
+    s.deferred.use_packet_tracer = False
+    s.deferred.use_taa = False
+    s.deferred.use_ssao = False
+    s.deferred.shadows = "none"
+    eng = Engine(db, s)
+    img0 = np.asarray(eng.render())
+    assert np.isfinite(img0).all()
+
+    # mutable toggle invalidates the deferred pipeline
+    assert eng.toggle_option("deferred.use_bloom") in (True, False)
+    assert RenderMode.RASTERIZER not in eng._pipelines
+    img1 = np.asarray(eng.render())
+    assert img1.shape == img0.shape
+
+    # frozen leaf (PathTracerSettings): set_option must replace the node
+    prev = eng.set_option("pt.ray_depth", 1)
+    assert eng.settings.pt.ray_depth == 1 and prev != 1
+
+    # viewer key map routes to the engine without a display
+    class FakeV:
+        engine = eng
+        _TOGGLES = viewer_mod.Viewer._TOGGLES
+        _PT_OUTPUTS = viewer_mod.Viewer._PT_OUTPUTS
+        _handle_toggle = viewer_mod.Viewer._handle_toggle
+
+    fv = FakeV()
+    before = eng.settings.deferred.use_ssao
+    assert fv._handle_toggle("3") is True
+    assert eng.settings.deferred.use_ssao != before
+    assert fv._handle_toggle("m") is True
+    assert eng.settings.mode == RenderMode.PATH_TRACER
+    assert fv._handle_toggle("o") is True  # cycles PT output selector
+    assert eng.settings.pt_pipeline.output in viewer_mod.Viewer._PT_OUTPUTS
+    assert fv._handle_toggle("z") is False  # unbound keys fall through
+
+
 def test_depth_aware_upsample_respects_silhouettes():
     """Joint-bilateral volumetric upscale: values must not bleed across a
     depth discontinuity (ref: VolumetricLight/Upscale depth comparison)."""
