@@ -177,6 +177,37 @@ def run_one():
         except Exception as e:  # profiling must never kill the bench
             print(f"# device profile failed: {type(e).__name__}: "
                   f"{str(e)[:200]}", file=sys.stderr)
+    # VXGI voxelize record (VERDICT r3 #4: the reference publishes 4.93 -
+    # 19.05 ms at 256^3, Readme.md:240-245): one driver-captured number on
+    # the SAME bench scene, emitted BEFORE the headline line (the driver
+    # parses the last JSON line as the headline metric).
+    if int(os.environ.get("IDK_BENCH_VXGI", "1")):
+        try:
+            from idkengine_tpu.render.vxgi import VoxelGrid, VxgiSettings
+
+            res_v = int(os.environ.get("IDK_VXGI_RES", 256))
+            grid = VoxelGrid(
+                np.asarray(scene.node_min[0]), np.asarray(scene.node_max[0]),
+                VxgiSettings(resolution=res_v))
+            lights_v = {k: v for k, v in lights.items() if k != "count"}
+            vox = lambda fr: grid.voxelize(
+                scene, mats, lights_v, len(db.lights.lights), frame=fr)
+            jax.block_until_ready(vox(0))  # compile
+            t_v = time.time()
+            n_v = 4
+            for fr in range(1, 1 + n_v):  # frame salt defeats memoization
+                out_v = vox(fr)
+            jax.block_until_ready(out_v)
+            vox_ms = (time.time() - t_v) / n_v * 1e3
+            print(json.dumps({
+                "metric": f"VXGI voxelize+mips {res_v}^3, {tris//1000}k-tri"
+                          " atrium (ref 4.93-19.05 ms @256^3)",
+                "value": round(vox_ms, 2), "unit": "ms",
+                "vs_baseline": round(19.05 / max(vox_ms, 1e-6), 4),
+            }))
+        except Exception as e:
+            print(f"# vxgi bench failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
     print(json.dumps(rec))
 
 

@@ -663,7 +663,17 @@ def _build_run_seg(any_hit, rows, wide, packet,
                         & (vv >= 0.0) & (uu + vv <= 1.0)
                         & (tt > 0.0) & (tt < t_best)
                     )
-                    t_best = jnp.where(ok, tt, t_best)
+                    # any-hit early-out: record the hit as NEGATED t —
+                    # a negative pruning bound fails every later slab and
+                    # Möller test, so occluded rays contribute nothing to
+                    # the rest of the traversal (whole subtrees stop being
+                    # pushed once a block's live mask empties); run_seg
+                    # flips the sign back on exit. Safe unconditionally:
+                    # every any-hit consumer reduces the Hit to a boolean
+                    # (pathtracer alpha rounds use CLOSEST traces), and
+                    # "any hit exists" is the same answer whether the first
+                    # or the nearest one is recorded.
+                    t_best = jnp.where(ok, -tt if any_hit else tt, t_best)
                     slot = jnp.where(ok, first + kk, slot)
                     u = jnp.where(ok, uu, u)
                     v = jnp.where(ok, vv, v)
@@ -916,6 +926,9 @@ def _build_run_seg(any_hit, rows, wide, packet,
         slot = jnp.concatenate([per[4 * k + 1] for k in range(C)], axis=0)
         u = jnp.concatenate([per[4 * k + 2] for k in range(C)], axis=0)
         v = jnp.concatenate([per[4 * k + 3] for k in range(C)], axis=0)
+        if any_hit:
+            # undo the early-out encoding: hits carried their t negated
+            t = jnp.where(slot >= 0, -t, t)
         return t, slot, u, v, iters
 
     return run_seg

@@ -215,7 +215,10 @@ class TestWaveTracing:
         db = SceneDatabase(BuildSettings(
             max_leaf_triangle_count=12, traversal_cost=4.0,
             presplit_factor=0.0))
-        db.add_model(atrium(3000))
+        # 8000 tris: comfortably above the wave-segmenter's 200 KB floor
+        # under BOTH the exact-sweep and the hybrid binned BLAS build (the
+        # 3000-tri scene straddled it: 204 KB exact vs 197 KB binned)
+        db.add_model(atrium(8000))
         sc = db.build()
         return db, sc
 
