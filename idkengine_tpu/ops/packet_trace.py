@@ -44,11 +44,13 @@ from .trace import Hit
 
 PACKET_ROWS = int(__import__('os').environ.get('IDK_PACKET_ROWS', '32'))
 PACKET = PACKET_ROWS * 128  # default rays per packet (rows x 128 lanes)
-# bounce rays keep the same packet size as primaries: in-frame measurement
-# shows the shared-stack union barely shrinks with packet size for sorted
-# diffuse-bounce batches, so bigger packets win on scalar-loop amortization
-# (kept as a knob — the tradeoff is scene/sort-quality dependent)
-BOUNCE_ROWS = int(__import__('os').environ.get('IDK_BOUNCE_ROWS', '32'))
+# Bounce/NEE packet size: at 2.8M/64-segment scale the sorted-bounce union
+# GROWS with packet size, so smaller packets win until fixed overheads bite
+# (round-4 device sweep, 2M bounce rays, closest/any ms:
+# rows=8 648/89, 16 558/74, 32 619/82, 64 1008/130; co-chains on top of 16
+# regress to 603/73). 16 rows is the measured sweet spot; at the 110k scale
+# the union was size-insensitive and 32 was tied — keep the knob.
+BOUNCE_ROWS = int(__import__('os').environ.get('IDK_BOUNCE_ROWS', '16'))
 # Triangles per leaf. 12 (one leaf per 128-lane row, 108 lanes) measured
 # faster than 6 (two leaves/row): interior-iteration overhead dominates the
 # packet loop, so fewer+fatter leaves win even for incoherent packets.
@@ -1452,6 +1454,27 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
     return kernel
 
 
+# f32 bit pattern of the loop kernel's initial "live" bound (any finite
+# packed suffix bound must pass the first cond check)
+_F32MAX_BITS = int(np.float32(3.4e38).view(np.int32))
+
+
+def _pack_steer_suffix(steer, suffix):
+    """Pack steer ids and the ordered-termination bound into ONE int32
+    scalar-prefetch word per slot: low 16 bits = segment id + 1 (0 marks an
+    invalid slot), high 16 = the bound's truncated f32 bits. The bound is
+    clamped to >= 0 first (hit t is never negative, so 0 is a valid lower
+    bound) — truncating a non-negative float's low mantissa bits only
+    lowers it, keeping the early-exit exact. A second (n_pk, K) f32
+    prefetch operand overflowed the 1 MB SMEM at the 2.8M config."""
+    assert steer.shape == suffix.shape, (steer.shape, suffix.shape)
+    sfx = jnp.maximum(suffix.astype(jnp.float32), 0.0)
+    sfx_bits = jax.lax.bitcast_convert_type(sfx, jnp.int32)
+    return jnp.where(steer >= 0,
+                     (sfx_bits & jnp.int32(-65536)) | (steer + 1),
+                     jnp.int32(0))
+
+
 def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
                               PR: int, LR: int, chains: int = 1):
     """Steered kernel with a while_loop over the steer slots instead of the
@@ -1516,31 +1539,58 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
                         leaf_hbm.at[pl.ds(st * LR, LR)],
                         leaf_buf.at[b], dma_sems.at[2 * b + 1]).wait()
 
-        st0 = steer_ref[pid, 0]
+        # Packed steer word (see _pack_steer_suffix): low 16 bits = segment
+        # id + 1 (0 = invalid slot), high 16 = the suffix-min entry-t bound
+        # as truncated-f32 bits. One scalar-prefetch array instead of two:
+        # a second (n_pk, K) f32 suffix operand blew the 1 MB SMEM budget
+        # at the 2.8M config (s32+f32 [1024,65] operands -> 'Ran out of
+        # memory in memory space smem ... exceeded by 2.1K').
+        pk0 = steer_ref[pid, 0]
+        st0 = (pk0 & 0xFFFF) - 1
 
         @pl.when(st0 >= 0)
         def _():
             start_dma(st0, jnp.int32(0))
 
-        init = (jnp.int32(0), t_base,
+        init = (jnp.int32(0), st0 >= 0, jnp.int32(_F32MAX_BITS), t_base,
                 jnp.full((rows, 128), -1, jnp.int32),
                 jnp.zeros((rows, 128), jnp.float32),
                 jnp.zeros((rows, 128), jnp.float32))
 
         def cond(c):
-            k = c[0]
-            st = steer_ref[pid, jnp.minimum(k, K - 1)]
-            return (k < K) & (st >= 0)
+            # c[1] is the continuation decided by the PREVIOUS body (or the
+            # slot-0 validity for the first iteration): true iff slot c[0]'s
+            # segment DMA was started. The ordered-termination bound test
+            # lives in `body`, NOT here — cond must return exactly "was the
+            # DMA for this slot kicked off", or an early exit would leave an
+            # in-flight async copy whose semaphore is never awaited, which
+            # hard-aborts the chip ('ABORTED: TPU backend error').
+            return c[1]
 
         def body(c):
-            k, t_cur, slot_cur, u_cur, v_cur = c
-            st = steer_ref[pid, k]
+            k, _cont, s_bits, t_cur, slot_cur, u_cur, v_cur = c
+            st = (steer_ref[pid, k] & 0xFFFF) - 1
             buf = jax.lax.rem(k, 2)
-            st_next = steer_ref[pid, jnp.minimum(k + 1, K - 1)]
+            pk_next = steer_ref[pid, jnp.minimum(k + 1, K - 1)]
+            # Ordered termination, decided BEFORE the prefetch: slots are
+            # near-first and the packed high half carries the suffix-min of
+            # the packet's entry t per slot — no segment from k+1 on can
+            # produce a hit below that bound, so stop once every ray's
+            # current best (closest) / remaining budget (any) sits under
+            # it. The bound used here is one body stale (end of body k-1),
+            # i.e. looser — the exit fires at most one slot late, never
+            # early, so it stays exact. Both sides compare as int32: for
+            # floats >= 0 the bit pattern is order-isomorphic, and a
+            # negative s_bits (all rays done in any-hit mode) makes every
+            # bound "too far" — also the wanted outcome. Deciding here (and
+            # having cond consume the decision) guarantees every started
+            # DMA is waited by the body that follows.
+            cont = ((k + 1 < K) & ((pk_next & 0xFFFF) > 0)
+                    & ((pk_next & jnp.int32(-65536)) <= s_bits))
 
-            @pl.when((k + 1 < K) & (st_next >= 0))
+            @pl.when(cont)
             def _():
-                start_dma(st_next, jax.lax.rem(k + 1, 2))
+                start_dma((pk_next & 0xFFFF) - 1, jax.lax.rem(k + 1, 2))
 
             wait_dma(st, buf)
             if any_hit:
@@ -1559,13 +1609,24 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
             t_k, slot_k, u_k, v_k = jax.lax.switch(
                 buf, [seg_on(0), seg_on(1)], None)
             hit_k = slot_k >= 0
-            return (k + 1,
-                    jnp.where(hit_k, t_k, t_cur),
-                    jnp.where(hit_k, slot_k, slot_cur),
+            t_nxt = jnp.where(hit_k, t_k, t_cur)
+            slot_nxt = jnp.where(hit_k, slot_k, slot_cur)
+            if any_hit:
+                # remaining budget of still-undone rays (t_base < 0 = dead,
+                # hits are done): -inf once all done -> loop stops
+                live = jnp.where((slot_nxt < 0) & (t_base > 0.0),
+                                 t_base, jnp.float32(-3.4e38))
+            else:
+                # worst (largest) current best across the packet; misses
+                # keep t_base (their t_max), so sky-bound rays hold the
+                # loop open for their remaining slots
+                live = t_nxt
+            s_bits = jnp.max(jax.lax.bitcast_convert_type(live, jnp.int32))
+            return (k + 1, cont, s_bits, t_nxt, slot_nxt,
                     jnp.where(hit_k, u_k, u_cur),
                     jnp.where(hit_k, v_k, v_cur))
 
-        _, t_cur, slot_cur, u_cur, v_cur = jax.lax.while_loop(
+        _, _, _, t_cur, slot_cur, u_cur, v_cur = jax.lax.while_loop(
             cond, body, init)
         t_ref[:] = t_cur
         slot_ref[:] = slot_cur
@@ -1578,10 +1639,14 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
 def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
                           o, d, t_max, any_hit: bool, interpret: bool,
                           rows: int = PACKET_ROWS, wide: bool = True,
-                          loop: bool = False, tag: str = ""):
+                          loop: bool = False, tag: str = "", suffix=None):
     """steer: (n_pk, K) int32 segment ids (-1 = skip), near-first. Rays and
     steering must cover the same (padded) packet layout. `wide` must match
-    the layout the tables were built with (IDK_WIDE)."""
+    the layout the tables were built with (IDK_WIDE). suffix (loop mode):
+    (n_pk, K) f32 suffix-min entry t per slot — the ordered-termination
+    bound, packed into the steer words (_pack_steer_suffix — one SMEM
+    operand, not two); None keeps the packed bound at 0 bits, which never
+    triggers an early slot-loop exit."""
     r = o.shape[0]
     packet = rows * 128
     pad = (-r) % packet
@@ -1594,15 +1659,17 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
     assert steer.shape[0] == n_pk, (steer.shape, n_pk)
     K = steer.shape[1]
     shape8 = (n_pk * rows, 128)
-    ray_spec = pl.BlockSpec((rows, 128), lambda i: (i, 0),
-                            memory_space=pltpu.VMEM)
-    ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
-                              memory_space=pltpu.VMEM)
     # steered kernel: co-chains unmeasured on this path — keep CHAINS for
     # both hit modes (CHAINS_ANY applies to the plain whole-table kernel
     # where the 12% any-hit win was measured)
     chains = CHAINS if rows % max(CHAINS, 1) == 0 else 1
     maker = _make_kernel_steered_loop if loop else _make_kernel_steered
+    if loop:
+        if suffix is None:
+            suffix = jnp.zeros(steer.shape, jnp.float32)
+        steer = _pack_steer_suffix(steer, suffix)
+    ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
+                              memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
         maker(any_hit, rows, wide=wide, K=K, PR=PR, LR=LR,
               chains=chains),
@@ -1660,7 +1727,7 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K,
     S = seg_min.shape[0]
     rp = o.shape[0]
     n_pk = rp // packet
-    c_parts, t_parts = [], []
+    c_parts, t_parts, mn_parts = [], [], []
     # chunk on packet boundaries so per-packet reduces stay within a chunk
     r_chunk = max(packet, ((1 << 18) // packet) * packet)
     for sl, ent in _entry_all(o, d, t_max, seg_min, seg_max, r_chunk):
@@ -1669,8 +1736,11 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K,
         c_parts.append(m.reshape(pk_c // packet, packet, S).sum(axis=1))
         t_parts.append(jnp.where(m, ent, 0.0)
                        .reshape(pk_c // packet, packet, S).sum(axis=1))
+        mn_parts.append(jnp.where(m, ent, jnp.inf)
+                        .reshape(pk_c // packet, packet, S).min(axis=1))
     counts = jnp.concatenate(c_parts, axis=0)  # (n_pk, S)
     mean_t = jnp.concatenate(t_parts, axis=0) / jnp.maximum(counts, 1)
+    min_t = jnp.concatenate(mn_parts, axis=0)  # (n_pk, S) nearest entry
     hits = counts > 0
     if exclude is not None:
         counts = jnp.where(exclude, 0, counts)
@@ -1683,10 +1753,19 @@ def _build_steering(o, d, t_max, seg_min, seg_max, packet, K,
     idx = jnp.take_along_axis(idx, order, axis=1)
     top = jnp.take_along_axis(top, order, axis=1)
     steer = jnp.where(top > 0, idx.astype(jnp.int32), jnp.int32(-1))
+    # Ordered-termination bound: suffix[k] = min over slots >= k of the
+    # packet's NEAREST entry t into that slot's segment. Any hit a ray can
+    # still find in slots >= k satisfies t >= suffix[k], so once every
+    # ray's current best (or remaining t_max for any-hit) is below it, the
+    # kernel's slot loop stops — near-first ordering makes this fire after
+    # the first few populated segments for surface-dense packets.
+    sel_mn = jnp.where(top > 0, jnp.take_along_axis(min_t, idx, axis=1),
+                       jnp.inf)
+    suffix = jax.lax.cummin(sel_mn, axis=1, reverse=True)
     # per-(packet, segment) intersect flags: the fallback logic reuses these
     # instead of re-running S entry sweeps over every ray (measured ~600 ms
     # of XLA overhead at 2.8M/29 segments)
-    return steer, hits
+    return steer, hits, suffix
 
 
 @partial(jax.jit, static_argnames=("interpret", "rows", "k_steer", "tag"))
@@ -1718,15 +1797,17 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
     if STEER_LOOP:
         # single-pass full coverage: the while_loop kernel's code size is
         # K-independent, so steer EVERY intersected segment (near-first,
-        # best-t pruning carries in-kernel). No residual pass, no backstop.
-        steer, _hits = _build_steering(op, dp, tp, seg_min, seg_max,
-                                       packet, S)
+        # best-t pruning carries in-kernel, and the suffix-min entry bound
+        # stops the slot loop once no remaining segment can beat any ray's
+        # best). No residual pass, no backstop.
+        steer, _hits, suffix = _build_steering(op, dp, tp, seg_min, seg_max,
+                                               packet, S)
         return _pallas_trace_steered(
             pairs_stack, leaf_stack, PR, LR, steer,
             o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, loop=True,
-            tag=tag)
-    steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
-                                     k_steer)
+            tag=tag, suffix=suffix)
+    steer, pk_hits, _sfx = _build_steering(op, dp, tp, seg_min, seg_max,
+                                           packet, k_steer)
     best = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, False, itp, rows, wide=ps_segs[0].wide, tag=tag)
@@ -1739,8 +1820,9 @@ def packet_trace_closest_steered(ps_segs, pairs_stack, leaf_stack,
     # 'fallback conds' in the 2.8M profile).
     bt = best.t if pad == 0 else jnp.concatenate(
         [best.t, jnp.full((pad,), -1.0, jnp.float32)])
-    steer2, pk_hits2 = _build_steering(op, dp, bt, seg_min, seg_max, packet,
-                                       k_steer, exclude=done)
+    steer2, pk_hits2, _sfx2 = _build_steering(op, dp, bt, seg_min,
+                                              seg_max, packet,
+                                              k_steer, exclude=done)
     h2 = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer2,
         o, d, best.t, False, itp, rows, wide=ps_segs[0].wide, tag=tag)
@@ -1787,15 +1869,15 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
     tp = t_max if pad == 0 else jnp.concatenate(
         [t_max, jnp.full((pad,), -1.0, jnp.float32)])
     if STEER_LOOP:
-        steer, _hits = _build_steering(op, dp, tp, seg_min, seg_max,
-                                       packet, S)
+        steer, _hits, suffix = _build_steering(op, dp, tp, seg_min, seg_max,
+                                               packet, S)
         h = _pallas_trace_steered(
             pairs_stack, leaf_stack, PR, LR, steer,
             o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, loop=True,
-            tag=tag)
+            tag=tag, suffix=suffix)
         return h.slot >= 0
-    steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
-                                     k_steer)
+    steer, pk_hits, _sfx = _build_steering(op, dp, tp, seg_min, seg_max,
+                                           packet, k_steer)
     h = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer,
         o, d, t_max, True, itp, rows, wide=ps_segs[0].wide, tag=tag)
@@ -1807,8 +1889,9 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
     tm1 = jnp.where(occ, jnp.float32(-1.0), t_max)
     tp2 = tm1 if pad == 0 else jnp.concatenate(
         [tm1, jnp.full((pad,), -1.0, jnp.float32)])
-    steer2, pk_hits2 = _build_steering(op, dp, tp2, seg_min, seg_max, packet,
-                                       k_steer, exclude=done)
+    steer2, pk_hits2, _sfx2 = _build_steering(op, dp, tp2, seg_min,
+                                              seg_max, packet,
+                                              k_steer, exclude=done)
     h2 = _pallas_trace_steered(
         pairs_stack, leaf_stack, PR, LR, steer2,
         o, d, tm1, True, itp, rows, wide=ps_segs[0].wide, tag=tag)

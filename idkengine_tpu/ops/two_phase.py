@@ -535,7 +535,7 @@ def _steer_and_lists(pairs_stack, PR, LS, seg_min, seg_max, op, dp, tp,
                      o, d, t_max, k_steer, itp, rows, d_slots,
                      exclude=None):
     packet = rows * 128
-    steer, pk_hits = _build_steering(op, dp, tp, seg_min, seg_max, packet,
+    steer, pk_hits, _sfx = _build_steering(op, dp, tp, seg_min, seg_max, packet,
                                      k_steer, exclude=exclude)
     lists, cnt = phase_a_steered(pairs_stack, PR, LS, steer, o, d, t_max,
                                  interpret=itp, rows=rows, D=d_slots)

@@ -146,6 +146,14 @@ def main():
     steer_fn = jax.jit(lambda o_, d_, t_: _build_steering(
         o_, d_, t_, ws.seg_min, ws.seg_max, packet, S))
     device_ms("steer_build", lambda s: steer_fn(op_ + s, dp_, tp_), 0.0)
+    # segment-coverage distribution: how many segments each SORTED packet
+    # intersects = the divergence the kernel actually pays (each steer slot
+    # is a full sub-traversal of the whole packet)
+    steer_ids = steer_fn(op_, dp_, tp_)[0]
+    cnt = np.asarray((np.asarray(steer_ids) >= 0).sum(1))
+    print(f"segs/packet: mean {cnt.mean():.1f} p50 {np.percentile(cnt,50):.0f} "
+          f"p90 {np.percentile(cnt,90):.0f} max {cnt.max()} of S={S} "
+          f"({len(cnt)} packets)", flush=True)
 
     # --- stage 4: steered closest (loop kernel; includes steering build) ---
     # packet_trace_* are already jitted with the stacks as ARGUMENTS — no
