@@ -102,12 +102,6 @@ def run_one():
                                      (db.wave_seg_min, db.wave_seg_max)))),
         ("xla", dict(packet_scene=None, wave_boxes=None)),
     ]
-    ws = db.wave_set()
-    if (int(os.environ.get("IDK_BENCH_TP", "0"))
-            and ws is not None and ws.first_stack is not None):
-        variants.insert(0, ("two_phase", dict(
-            packet_scene=db.packet_scene, wave_boxes=ws,
-            settings_over=dict(use_two_phase=True))))
     if not settings.use_packet_tracer:
         variants = variants[-1:]
     pt = None
@@ -242,7 +236,10 @@ def _probe_backend(attempts=3, probe_timeout=150, sleep_s=20) -> bool:
 
 
 def _run_config(env_over: dict, timeout_s: float):
-    """Run `bench.py --run` under env overrides; return parsed JSON or None.
+    """Run `bench.py --run` under env overrides; return ALL parsed JSON
+    records (in emission order, headline last) or None. Forwarding every
+    record matters: run_one emits auxiliary records (VXGI voxelize) before
+    the headline, and round 4's orchestrator silently dropped them.
     Kills the whole process group on timeout (compiles can wedge)."""
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", CACHE_DIR)
@@ -271,16 +268,17 @@ def _run_config(env_over: dict, timeout_s: float):
         return None
     if proc.returncode != 0:
         print(f"# config exited rc={proc.returncode}", file=sys.stderr)
-    for line in reversed((out or "").splitlines()):
+    recs = []
+    for line in (out or "").splitlines():
         line = line.strip()
         if line.startswith("{"):
             try:
                 rec = json.loads(line)
                 if "metric" in rec and "value" in rec:
-                    return rec
+                    recs.append(rec)
             except Exception:
                 pass
-    return None
+    return recs or None
 
 
 def orchestrate():
@@ -307,10 +305,24 @@ def orchestrate():
               file=sys.stderr)
         ladder = [(cpu_env, 900)]
 
-    for env_over, timeout_s in ladder:
-        rec = _run_config(env_over, timeout_s)
-        if rec is not None:
-            print(json.dumps(rec))
+    for i, (env_over, timeout_s) in enumerate(ladder):
+        recs = _run_config(env_over, timeout_s)
+        if recs is not None:
+            # Refreshed small-scene scaling record (the reference publishes
+            # per-scene tables, Readme.md:816-841): when the headline ran at
+            # the full 2.8M config, also run the 110k config and emit its
+            # records BEFORE the headline (the driver keys on the LAST
+            # JSON line). Skippable via IDK_BENCH_SMALL=0.
+            if (i == 0 and len(ladder) > 1
+                    and int(os.environ.get("IDK_BENCH_SMALL", "1"))):
+                small = _run_config(
+                    {"IDK_BENCH_TRIS": 110_000, "IDK_BENCH_VXGI": 0,
+                     "IDK_BENCH_PROFILE": 0,
+                     "IDK_BENCH_LABEL": "small-scene scaling record"}, 900)
+                for r in small or []:
+                    print(json.dumps(r))
+            for r in recs:
+                print(json.dumps(r))
             return 0
     # last resort: an explicit zero record beats a stack trace (round 2's
     # official record was `rc=1, parsed: null`)

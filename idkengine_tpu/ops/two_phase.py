@@ -335,7 +335,7 @@ def phase_a(ps, o, d, t_max, interpret=False, rows=PACKET_ROWS, D=D_SLOTS,
     outs = pl.pallas_call(
         _make_kernel_a(rows, D, chains),
         grid=(n_pk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] + [ray_spec] * 7,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + [ray_spec] * 7,
         out_specs=[ray_spec] * (1 + D),
         out_shape=[jax.ShapeDtypeStruct(shape8, jnp.int32)] * (1 + D),
         scratch_shapes=[
@@ -374,7 +374,7 @@ def phase_a_steered(pairs_stack, PR, LS, steer, o, d, t_max,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n_pk,),
-            in_specs=[ray_spec] * 7 + [pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[ray_spec] * 7 + [pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=[ray_spec] * (1 + D),
             scratch_shapes=[
                 pltpu.VMEM((2, PR, 128), jnp.float32),
