@@ -98,6 +98,25 @@ def _load():
     lib.sphere_vs_triangles.argtypes = [
         f32p, u32p, u32p, ctypes.c_uint32, f32p, ctypes.c_float, f32p, f32p,
     ]
+    # tree flatten/collapse helpers (native versions of the per-node Python
+    # loops in bvh/flatten.py + ops/packet_trace.py — setup-time hot path)
+    i64p = ctypes.POINTER(ctypes.c_int64)
+    lib.bvh_thread_links.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, i64p, i64p]
+    lib.bvh_collapse_leaves.restype = ctypes.c_int64
+    lib.bvh_collapse_leaves.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, i64p]
+    lib.bvh_segment_roots.restype = ctypes.c_int64
+    lib.bvh_segment_roots.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_double, ctypes.c_int64,
+        i64p]
+    lib.bvh_subtree_extract.restype = ctypes.c_int64
+    lib.bvh_subtree_extract.argtypes = [
+        ctypes.c_void_p, i64p, ctypes.c_uint32, ctypes.c_void_p, i64p]
+    lib.bvh_collapse_wide.restype = ctypes.c_int64
+    lib.bvh_collapse_wide.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, i64p, i64p, i64p, i64p]
     _lib = lib
     return lib
 
@@ -112,6 +131,85 @@ def _f32p(a):
 
 def _u32p(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+
+
+def _i64p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+
+# -- native tree helpers (None when the .so is unavailable; callers keep a
+#    bit-identical numpy fallback) ------------------------------------------
+
+def tree_thread_links(nodes: np.ndarray):
+    """(order, subtree_end) of the DFS preorder — see flatten.thread_bvh."""
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes)
+    n = nodes.shape[0]
+    order = np.empty(n, np.int64)
+    send = np.empty(n, np.int64)
+    lib.bvh_thread_links(nodes.ctypes.data, np.uint32(n),
+                         _i64p(order), _i64p(send))
+    return order, send
+
+
+def tree_collapse_leaves(nodes: np.ndarray, max_leaf: int):
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes)
+    n = nodes.shape[0]
+    out = np.zeros(n, nodes.dtype)
+    orig = np.zeros(n, np.int64)
+    n_out = lib.bvh_collapse_leaves(nodes.ctypes.data, np.uint32(n),
+                                    np.uint32(max_leaf), out.ctypes.data,
+                                    _i64p(orig))
+    return out[:n_out].copy(), orig[:n_out].copy()
+
+
+def tree_segment_roots(nodes: np.ndarray, budget: float,
+                       leaves_per_row: int):
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes)
+    n = nodes.shape[0]
+    roots = np.empty(n, np.int64)
+    cnt = lib.bvh_segment_roots(nodes.ctypes.data, np.uint32(n),
+                                float(budget), leaves_per_row, _i64p(roots))
+    return [int(r) for r in roots[:cnt]]
+
+
+def tree_subtree_extract(nodes: np.ndarray, orig: np.ndarray, root: int):
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes)
+    orig = np.ascontiguousarray(orig, np.int64)
+    n = nodes.shape[0]
+    out = np.zeros(n, nodes.dtype)
+    o_map = np.zeros(n, np.int64)
+    n_out = lib.bvh_subtree_extract(nodes.ctypes.data, _i64p(orig),
+                                    np.uint32(root), out.ctypes.data,
+                                    _i64p(o_map))
+    return out[:n_out].copy(), o_map[:n_out].copy()
+
+
+def tree_collapse_wide(nodes: np.ndarray):
+    lib = _load()
+    if lib is None:
+        return None
+    nodes = np.ascontiguousarray(nodes)
+    n = nodes.shape[0]
+    cap = n // 2 + 2
+    kids = np.empty((cap, 8), np.int64)
+    axis = np.empty(cap, np.int64)
+    order = np.empty(cap, np.int64)
+    meta0_of = np.full(n, -1, np.int64)
+    W = lib.bvh_collapse_wide(nodes.ctypes.data, np.uint32(n), _i64p(kids),
+                              _i64p(axis), _i64p(order), _i64p(meta0_of))
+    return (kids[:W].copy(), axis[:W].copy(), order[:W].copy(), meta0_of)
 
 
 @dataclass

@@ -1249,4 +1249,209 @@ int sphere_vs_triangles(const float* verts, const uint32_t* idx,
   return best_i;
 }
 
+// ---------------------------------------------------------------------------
+// Tree flatten / collapse helpers (host table builds)
+//
+// Native versions of the per-node Python loops in bvh/flatten.py and
+// ops/packet_trace.py (thread_bvh, _collapse_leaves, _segment_roots,
+// _subtree_extract, _collapse_wide). At the 2.8M-tri bench the builder tree
+// has ~1M nodes and those Python loops dominated setup time; the semantics
+// here are bit-identical to the Python fallbacks (which the tests compare).
+// ---------------------------------------------------------------------------
+
+// DFS preorder (left child first) + exclusive subtree end in DFS numbering.
+void bvh_thread_links(const BlasNode* nodes, uint32_t n,
+                      int64_t* order, int64_t* subtree_end) {
+  std::vector<int64_t> dfs_index(n);
+  std::vector<uint32_t> stack;
+  stack.reserve(128);
+  stack.push_back(0);
+  int64_t pos = 0;
+  while (!stack.empty()) {
+    uint32_t ni = stack.back();
+    stack.pop_back();
+    order[pos] = ni;
+    dfs_index[ni] = pos;
+    pos++;
+    if (nodes[ni].count == 0) {
+      uint32_t l = nodes[ni].left_or_first;
+      stack.push_back(l + 1);
+      stack.push_back(l);
+    }
+  }
+  for (int64_t i = (int64_t)n - 1; i >= 0; --i) {
+    uint32_t ni = (uint32_t)order[i];
+    if (nodes[ni].count > 0)
+      subtree_end[i] = i + 1;
+    else
+      subtree_end[i] = subtree_end[dfs_index[nodes[ni].left_or_first + 1]];
+  }
+}
+
+// Bottom-up collapse of sibling leaves into bigger leaves (<= max_leaf),
+// then BFS repack dropping orphans. out/orig capacity n. Returns node count.
+int64_t bvh_collapse_leaves(const BlasNode* nodes_in, uint32_t n,
+                            uint32_t max_leaf, BlasNode* out, int64_t* orig) {
+  std::vector<BlasNode> nodes(nodes_in, nodes_in + n);
+  for (int64_t i = (int64_t)n - 1; i >= 0; --i) {
+    if (nodes[i].count != 0) continue;
+    uint32_t l = nodes[i].left_or_first;
+    uint32_t cl = nodes[l].count, cr = nodes[l + 1].count;
+    if (cl > 0 && cr > 0 && cl != 0xFFFFFFFFu && cr != 0xFFFFFFFFu &&
+        cl + cr <= max_leaf) {
+      nodes[i].count = cl + cr;
+      nodes[i].left_or_first =
+          std::min(nodes[l].left_or_first, nodes[l + 1].left_or_first);
+      nodes[l].count = nodes[l + 1].count = 0xFFFFFFFFu;  // orphan marker
+    }
+  }
+  out[0] = nodes[0];
+  orig[0] = 0;
+  int64_t n_out = 1;
+  for (int64_t k = 0; k < n_out; ++k) {
+    if (out[k].count == 0) {
+      uint32_t l = out[k].left_or_first;
+      out[k].left_or_first = (uint32_t)n_out;
+      out[n_out] = nodes[l];
+      out[n_out + 1] = nodes[l + 1];
+      orig[n_out] = l;
+      orig[n_out + 1] = l + 1;
+      n_out += 2;
+    }
+  }
+  return n_out;
+}
+
+// Minimal antichain of subtree roots whose packed tables fit `budget` bytes
+// (same stack walk + footprint model as Python _segment_roots).
+int64_t bvh_segment_roots(const BlasNode* nodes, uint32_t n, double budget,
+                          int64_t leaves_per_row, int64_t* out_roots) {
+  std::vector<int64_t> pairs_below(n, 0), leaves_below(n, 0);
+  for (int64_t i = (int64_t)n - 1; i >= 0; --i) {
+    if (nodes[i].count > 0) {
+      leaves_below[i] = 1;
+    } else {
+      uint32_t l = nodes[i].left_or_first;
+      pairs_below[i] = 1 + pairs_below[l] + pairs_below[l + 1];
+      leaves_below[i] = leaves_below[l] + leaves_below[l + 1];
+    }
+  }
+  int64_t count = 0;
+  std::vector<uint32_t> stack;
+  stack.push_back(0);
+  while (!stack.empty()) {
+    uint32_t i = stack.back();
+    stack.pop_back();
+    double foot =
+        (double)(1 + (pairs_below[i] + 7) / 8) * 512.0 +
+        (double)((leaves_below[i] + leaves_per_row - 1) / leaves_per_row) *
+            512.0;
+    if (foot <= budget || nodes[i].count > 0) {
+      out_roots[count++] = i;
+    } else {
+      uint32_t l = nodes[i].left_or_first;
+      stack.push_back(l);
+      stack.push_back(l + 1);
+    }
+  }
+  return count;
+}
+
+// Renumber the subtree at `root` into a fresh builder-layout array.
+int64_t bvh_subtree_extract(const BlasNode* nodes, const int64_t* orig,
+                            uint32_t root, BlasNode* out, int64_t* o_map) {
+  out[0] = nodes[root];
+  o_map[0] = orig[root];
+  int64_t n_out = 1;
+  for (int64_t k = 0; k < n_out; ++k) {
+    if (out[k].count == 0) {
+      uint32_t l = out[k].left_or_first;
+      out[k].left_or_first = (uint32_t)n_out;
+      out[n_out] = nodes[l];
+      out[n_out + 1] = nodes[l + 1];
+      o_map[n_out] = orig[l];
+      o_map[n_out + 1] = orig[l + 1];
+      n_out += 2;
+    }
+  }
+  return n_out;
+}
+
+// Greedy 8-wide collapse (largest-area interior child expanded first),
+// children sorted ascending centroid along the dominant axis. Outputs:
+// kids (cap,8) with -1 = empty slot, axis_out/order_out (cap,),
+// meta0_of (n,) pre-filled by caller with -1. Returns wide-node count W.
+int64_t bvh_collapse_wide(const BlasNode* nodes, uint32_t n, int64_t* kids,
+                          int64_t* axis_out, int64_t* order_out,
+                          int64_t* meta0_of) {
+  std::vector<double> area(n);
+  std::vector<double> cx(n), cy(n), cz(n);
+  for (uint32_t i = 0; i < n; ++i) {
+    double ex = std::max((double)nodes[i].mx[0] - nodes[i].mn[0], 0.0);
+    double ey = std::max((double)nodes[i].mx[1] - nodes[i].mn[1], 0.0);
+    double ez = std::max((double)nodes[i].mx[2] - nodes[i].mn[2], 0.0);
+    area[i] = ex * ey + ey * ez + ez * ex;
+    cx[i] = 0.5 * ((double)nodes[i].mn[0] + nodes[i].mx[0]);
+    cy[i] = 0.5 * ((double)nodes[i].mn[1] + nodes[i].mx[1]);
+    cz[i] = 0.5 * ((double)nodes[i].mn[2] + nodes[i].mx[2]);
+  }
+  std::vector<uint32_t> order;  // binary id per wide node (BFS)
+  std::vector<int64_t> wide_of(n, -1);
+  order.push_back(0);
+  int64_t W = 0;
+  std::vector<uint32_t> ks;
+  ks.reserve(8);
+  for (size_t qi = 0; qi < order.size(); ++qi, ++W) {
+    uint32_t b = order[qi];
+    ks.clear();
+    ks.push_back(nodes[b].left_or_first);
+    ks.push_back(nodes[b].left_or_first + 1);
+    while (ks.size() < 8) {
+      int best = -1;
+      double best_a = -1.0;
+      for (size_t j = 0; j < ks.size(); ++j) {
+        uint32_t k = ks[j];
+        if (nodes[k].count == 0 && area[k] > best_a) {
+          best_a = area[k];
+          best = (int)j;
+        }
+      }
+      if (best < 0) break;
+      uint32_t k = ks[best];
+      ks.erase(ks.begin() + best);
+      ks.push_back(nodes[k].left_or_first);
+      ks.push_back(nodes[k].left_or_first + 1);
+    }
+    double mnx = 1e300, mny = 1e300, mnz = 1e300;
+    double mxx = -1e300, mxy = -1e300, mxz = -1e300;
+    for (uint32_t k : ks) {
+      mnx = std::min(mnx, cx[k]); mxx = std::max(mxx, cx[k]);
+      mny = std::min(mny, cy[k]); mxy = std::max(mxy, cy[k]);
+      mnz = std::min(mnz, cz[k]); mxz = std::max(mxz, cz[k]);
+    }
+    double dx = mxx - mnx, dy = mxy - mny, dz = mxz - mnz;
+    int axis = 0;  // numpy argmax: first strict max
+    double best_d = dx;
+    if (dy > best_d) { best_d = dy; axis = 1; }
+    if (dz > best_d) { best_d = dz; axis = 2; }
+    const std::vector<double>& cc = axis == 0 ? cx : (axis == 1 ? cy : cz);
+    std::stable_sort(ks.begin(), ks.end(),
+                     [&](uint32_t a, uint32_t b2) { return cc[a] < cc[b2]; });
+    for (size_t j = 0; j < 8; ++j)
+      kids[8 * W + j] = j < ks.size() ? (int64_t)ks[j] : -1;
+    axis_out[W] = axis;
+    order_out[W] = b;
+    for (uint32_t k : ks) {
+      if (nodes[k].count == 0) {
+        wide_of[k] = (int64_t)order.size();
+        order.push_back(k);
+      }
+    }
+  }
+  for (uint32_t b = 0; b < n; ++b)
+    if (wide_of[b] >= 0) meta0_of[b] = wide_of[b] * 4 + axis_out[wide_of[b]];
+  meta0_of[0] = 0 * 4 + axis_out[0];
+  return W;
+}
+
 }  // extern "C"

@@ -47,37 +47,43 @@ def thread_bvh(nodes: np.ndarray) -> tuple[FlatBvh, np.ndarray]:
     the builder's tri_indices order (identity if leaves already DFS-ordered).
     """
     n = nodes.shape[0]
-    # DFS order visiting left (larger) child first — matches build layout.
-    order = np.empty(n, dtype=np.int64)
-    dfs_index = np.empty(n, dtype=np.int64)
-    pos = 0
-    # iterative DFS; also record each node's "next" (miss) target by
-    # tracking, for every node, the subtree-end: nodes are re-numbered in
-    # DFS order so a subtree occupies a contiguous index range, and the miss
-    # link of node i is simply one-past its subtree end.
-    stack = [0]
-    while stack:
-        ni = stack.pop()
-        order[pos] = ni
-        dfs_index[ni] = pos
-        pos += 1
-        if nodes["count"][ni] == 0:
-            l = int(nodes["left_or_first"][ni])
-            stack.append(l + 1)
-            stack.append(l)
-    assert pos == n
+    from . import builder as _builder
 
-    subtree_end = np.empty(n, dtype=np.int64)  # in DFS numbering, exclusive
+    native = _builder.tree_thread_links(nodes)
+    if native is not None:
+        order, subtree_end = native
+    else:
+        # DFS order visiting left (larger) child first — matches build layout.
+        order = np.empty(n, dtype=np.int64)
+        dfs_index = np.empty(n, dtype=np.int64)
+        pos = 0
+        # iterative DFS; also record each node's "next" (miss) target by
+        # tracking, for every node, the subtree-end: nodes are re-numbered in
+        # DFS order so a subtree occupies a contiguous index range, and the
+        # miss link of node i is simply one-past its subtree end.
+        stack = [0]
+        while stack:
+            ni = stack.pop()
+            order[pos] = ni
+            dfs_index[ni] = pos
+            pos += 1
+            if nodes["count"][ni] == 0:
+                l = int(nodes["left_or_first"][ni])
+                stack.append(l + 1)
+                stack.append(l)
+        assert pos == n
 
-    # compute subtree sizes bottom-up over DFS order (children come after
-    # parents and a parent's range ends where its right child's ends)
-    for i in range(n - 1, -1, -1):
-        ni = order[i]
-        if nodes["count"][ni] > 0:
-            subtree_end[i] = i + 1
-        else:
-            l = int(nodes["left_or_first"][ni])
-            subtree_end[i] = subtree_end[dfs_index[l + 1]]
+        subtree_end = np.empty(n, dtype=np.int64)  # DFS numbering, exclusive
+
+        # compute subtree sizes bottom-up over DFS order (children come after
+        # parents and a parent's range ends where its right child's ends)
+        for i in range(n - 1, -1, -1):
+            ni = order[i]
+            if nodes["count"][ni] > 0:
+                subtree_end[i] = i + 1
+            else:
+                l = int(nodes["left_or_first"][ni])
+                subtree_end[i] = subtree_end[dfs_index[l + 1]]
 
     node_min = np.ascontiguousarray(nodes["min"][order], np.float32)
     node_max = np.ascontiguousarray(nodes["max"][order], np.float32)
@@ -163,3 +169,50 @@ def flatten_triangles(
         mat=tri_material[tids].astype(np.int32),
         geom_normal=gn.astype(np.float32),
     )
+
+
+def flatten_triangles_device(
+    slot_tri_ids: np.ndarray,
+    vertices: np.ndarray,
+    indices: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray | None,
+    tri_material: np.ndarray,
+) -> FlatTriangles:
+    """Device-side twin of flatten_triangles: uploads the RAW indexed mesh
+    (much smaller than the de-indexed SoA) and runs the gathers + octahedral
+    compression on device. At 2.8M tris this replaces ~10 s of single-core
+    numpy with sub-ms device work and shrinks the host→device transfer from
+    ~330 MB (de-indexed) to ~120 MB (indexed). Returns a FlatTriangles whose
+    fields are jnp arrays — SceneArrays.from_flat accepts either."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..utils.compression import compress_normal_xp
+
+    @jax.jit
+    def _pack(tids, verts, idx, nrm, uv_in, tmat):
+        tri_v = idx[tids]  # (T,3) i32
+        p = verts[tri_v]  # (T,3,3)
+        p0 = p[:, 0]
+        e1 = p[:, 1] - p[:, 0]
+        e2 = p[:, 2] - p[:, 0]
+        n3 = nrm[tri_v]  # (T,3,3)
+        n_packed = jnp.stack(
+            [compress_normal_xp(n3[:, k], jnp) for k in range(3)], axis=1)
+        gn = jnp.cross(e1, e2)
+        gl = jnp.linalg.norm(gn, axis=-1, keepdims=True)
+        gn = gn / jnp.maximum(gl, 1e-20)
+        uv = uv_in[tri_v].astype(jnp.float32)
+        return p0, e1, e2, n_packed, uv, tmat[tids], gn
+
+    tids = jnp.asarray(slot_tri_ids.astype(np.int32))
+    uv_host = (uvs.astype(np.float32) if uvs is not None
+               else np.zeros((vertices.shape[0], 2), np.float32))
+    p0, e1, e2, n_packed, uv, mat, gn = _pack(
+        tids, jnp.asarray(vertices, jnp.float32),
+        jnp.asarray(indices.astype(np.int32)),
+        jnp.asarray(normals, jnp.float32), jnp.asarray(uv_host),
+        jnp.asarray(tri_material.astype(np.int32)))
+    return FlatTriangles(p0=p0, e1=e1, e2=e2, n_packed=n_packed, uv=uv,
+                         mat=mat, geom_normal=gn)

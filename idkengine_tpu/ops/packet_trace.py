@@ -31,6 +31,7 @@ fused reduction for both children's any-hit counts.
 """
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from functools import partial
 
@@ -152,6 +153,11 @@ def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
     occupy contiguous tri-slot ranges, so a merged leaf is just
     (first_of_left, count_left + count_right). Returns a compact re-packed
     node array."""
+    from ..bvh import builder as _builder
+
+    native = _builder.tree_collapse_leaves(nodes, max_leaf)
+    if native is not None:
+        return native
     nodes = nodes.copy()
     counts = nodes["count"]
     firsts = nodes["left_or_first"]
@@ -189,6 +195,11 @@ def _collapse_leaves(nodes: np.ndarray, max_leaf: int) -> np.ndarray:
 def _subtree_extract(nodes: np.ndarray, orig: np.ndarray, root: int):
     """Renumber the subtree at `root` into a fresh builder-layout array
     (root 0, children consecutive), keeping the original-id map."""
+    from ..bvh import builder as _builder
+
+    native = _builder.tree_subtree_extract(nodes, orig, root)
+    if native is not None:
+        return native
     out = np.zeros(nodes.shape[0], dtype=nodes.dtype)
     o_map = np.zeros(nodes.shape[0], np.int64)
     out[0] = nodes[root]
@@ -210,6 +221,11 @@ def _subtree_extract(nodes: np.ndarray, orig: np.ndarray, root: int):
 def _segment_roots(nodes: np.ndarray, budget: int) -> list[int]:
     """Minimal antichain of subtree roots whose packed tables each fit the
     VMEM budget. Footprints via one reverse scan (children follow parents)."""
+    from ..bvh import builder as _builder
+
+    native = _builder.tree_segment_roots(nodes, budget, LEAVES_PER_ROW)
+    if native is not None:
+        return native
     n = nodes.shape[0]
     is_leaf = nodes["count"] > 0
     pairs_below = np.zeros(n, np.int64)
@@ -268,6 +284,25 @@ def build_packet_tables_segmented(
         return out
 
     return emit(collapsed, orig, budget)
+
+
+def packet_vmem_estimate(nodes_in: np.ndarray, wide: bool = WIDE) -> int:
+    """Exact packed-table byte size WITHOUT packing geometry — lets the
+    big-scene path skip the throwaway whole-scene build_packet_tables call
+    (several seconds of host gathers at 2.8M tris) and go straight to
+    segmentation."""
+    nodes, _ = _collapse_leaves(nodes_in, MAX_LEAF_PACKET)
+    counts = nodes["count"]
+    n_leaves = int((counts > 0).sum())
+    leaf_bytes = max((n_leaves + LEAVES_PER_ROW - 1) // LEAVES_PER_ROW, 1) * 512
+    if counts[0] > 0:  # single-leaf degenerate tree
+        return 512 + leaf_bytes
+    if wide:
+        kids, _, _, _ = _collapse_wide(nodes)
+        w = kids.shape[0]
+        return (1 + (w + 1) // 2) * 512 + leaf_bytes
+    n_pairs = int((counts == 0).sum())
+    return (1 + max((n_pairs + 7) // 8, 1)) * 512 + leaf_bytes
 
 
 def build_packet_tables(nodes_in: np.ndarray, slot_tri_ids: np.ndarray,
@@ -397,6 +432,11 @@ def _collapse_wide(nodes: np.ndarray):
       order (W,)  binary id of each wide node (BFS, parents first)
     Child slot order is ascending centroid along `axis`; traversal pushes
     forward or reversed by the packet's direction sign on that axis."""
+    from ..bvh import builder as _builder
+
+    native = _builder.tree_collapse_wide(nodes)
+    if native is not None:
+        return native
     counts = nodes["count"].astype(np.int64)
     firsts = nodes["left_or_first"].astype(np.int64)
     nmin = nodes["min"].astype(np.float64)
@@ -1184,16 +1224,20 @@ def _entry_all(o, d, t_max, seg_min, seg_max, r_chunk: int = 1 << 18):
         yield sl, jnp.where(hit, tn, jnp.float32(jnp.inf))
 
 
-def _nearest_segments(o, d, t_max, seg_min, seg_max, n):
+def _nearest_segments(o, d, t_max, seg_min, seg_max, n, want_count=False):
     """Per-ray ids of the n nearest intersected segments (S = id means
-    'none'), via batched entry chunks + top_k."""
+    'none'), via batched entry chunks + top_k. With want_count also returns
+    the per-ray TOTAL intersected-segment count (the re-binned pair path
+    uses it to route >n-segment rays to its exact residual)."""
     S = seg_min.shape[0]
-    ids_parts, ts_parts = [], []
+    ids_parts, ts_parts, cnt_parts = [], [], []
     for _sl, ent in _entry_all(o, d, t_max, seg_min, seg_max):
         neg, idx = jax.lax.top_k(-ent, min(n, S))
         ts_parts.append(-neg)
         ids_parts.append(jnp.where(jnp.isfinite(neg), idx.astype(jnp.int32),
                                    jnp.int32(S)))
+        if want_count:
+            cnt_parts.append((ent < jnp.inf).sum(axis=1).astype(jnp.int32))
     ts_all = jnp.concatenate(ts_parts, axis=0)
     ids_all = jnp.concatenate(ids_parts, axis=0)
     k = ids_all.shape[1]
@@ -1202,6 +1246,8 @@ def _nearest_segments(o, d, t_max, seg_min, seg_max, n):
     ts = [ts_all[:, i] if i < k
           else jnp.full((o.shape[0],), jnp.inf, jnp.float32)
           for i in range(n)]
+    if want_count:
+        return ids, ts, jnp.concatenate(cnt_parts, axis=0)
     return ids, ts
 
 
@@ -1910,3 +1956,173 @@ def packet_trace_any_steered(ps_segs, pairs_stack, leaf_stack,
 
         occ = jax.lax.cond(jnp.any(pk_need), sweep, lambda oc: oc, occ)
     return occ
+
+
+# ---------------------------------------------------------------------------
+# Dense per-segment ray re-binning ("rebin"): the round-5 bounce lever.
+#
+# The steered loop kernel above traces each sorted ray PACKET against every
+# segment its ray-union touches — measured mean 16.3 of 64 segments per
+# packet at 2.8M (BENCH_NOTES r4), i.e. ~16 sub-traversals per packet over
+# mostly-irrelevant lanes. Re-binning inverts the loop: expand each ray into
+# (segment, ray) pairs for its K nearest intersected segment boxes, sort the
+# pairs by segment (each segment's run padded to a packet multiple), and
+# trace each packet against exactly ONE segment at full lane density. Hits
+# come back per pair; an inverse gather + min over the K candidate axis
+# merges them per ray (no scatters anywhere). Rays intersecting more than K
+# segments finish in the exact steered residual with their (tight) running
+# best as t_max. Per-pair expansion replaces the per-packet-union redundancy:
+# mean pairs/ray is the per-RAY box count (small), not the packet union.
+# ---------------------------------------------------------------------------
+
+REBIN_K = int(os.environ.get("IDK_REBIN_K", "6"))
+# kernel-slot budget as a multiple of the ray count: bounds the pair
+# buffer (and its gathers) near the LIVE pair total instead of R*K — the
+# measured live mean is 2.84 pairs/ray at 2.8M (p99 6), so 3.25R holds the
+# whole distribution; anything past the budget routes to the exact residual
+REBIN_BUDGET = float(os.environ.get("IDK_REBIN_BUDGET", "3.25"))
+
+
+def _rebin_layout(o, d, t_max, seg_min, seg_max, packet, K):
+    """Build the pair layout. Returns:
+      slot_pair (n_slots,) i32 — flat pair index (ray*K + k) per kernel
+        slot, -1 = dead (padding / empty candidate)
+      steer (n_pk, 1) i32 — the single segment id per packet (-1 = skip)
+      pair_slot (R, K) i32 — kernel slot of each pair (-1 = empty candidate)
+      over (R,) bool — ray has candidates not covered by the pair pass
+        (more than K boxes, or pairs past the slot budget)
+    """
+    R = o.shape[0]
+    S = seg_min.shape[0]
+    ids, _ts, cnt = _nearest_segments(o, d, t_max, seg_min, seg_max, K,
+                                      want_count=True)
+    seg = jnp.stack(ids[:K], axis=1)  # (R, K); S = empty candidate
+    P = R * K
+    seg_flat = seg.reshape(P)
+    perm = jnp.argsort(seg_flat, stable=True)  # empties (id S) sort last
+    counts = jnp.bincount(seg_flat, length=S)  # id S drops out
+    aligned = ((counts + packet - 1) // packet) * packet
+    base = jnp.concatenate(
+        [jnp.zeros(1, aligned.dtype), jnp.cumsum(aligned)])[:S]
+    start = jnp.concatenate(
+        [jnp.zeros(1, counts.dtype), jnp.cumsum(counts)])[:S]
+    n_slots = (min(int(REBIN_BUDGET * R) + S * packet, P + S * packet)
+               + packet - 1) // packet * packet  # static
+    j = jnp.arange(n_slots, dtype=jnp.int32)
+    seg_of = (jnp.searchsorted(base, j, side="right") - 1).astype(jnp.int32)
+    off = j - base[seg_of]
+    valid = off < counts[seg_of]
+    q = start[seg_of] + off  # position in segment-sorted pair order
+    slot_pair = jnp.where(valid, perm[jnp.minimum(q, P - 1)], -1)
+    steer = jnp.where(valid.reshape(-1, packet)[:, 0],
+                      seg_of.reshape(-1, packet)[:, 0],
+                      jnp.int32(-1))[:, None]
+    # pair -> its kernel slot: sorted position via the inverse permutation,
+    # then shift by the segment's alignment gap; past-budget slots drop out
+    # (their rays go to the residual via `over`)
+    inv = jnp.zeros(P, jnp.int32).at[perm].set(
+        jnp.arange(P, dtype=jnp.int32))
+    pseg = jnp.minimum(seg_flat, S - 1)
+    pair_slot = jnp.where(seg_flat < S, base[pseg] + (inv - start[pseg]),
+                          -1)
+    dropped = pair_slot >= n_slots
+    pair_slot = jnp.where(dropped, -1, pair_slot).reshape(R, K)
+    over = (cnt > K) | jnp.any(dropped.reshape(R, K), axis=1)
+    return slot_pair, steer, pair_slot, over
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_pairs", "tag"))
+def packet_trace_closest_rebin(ps_segs, pairs_stack, leaf_stack,
+                               seg_min, seg_max, o, d, t_max,
+                               interpret: bool = False,
+                               rows: int = PACKET_ROWS,
+                               k_pairs: int = REBIN_K,
+                               tag: str = "") -> Hit:
+    """Closest hit over a segmented scene via dense per-segment re-binning.
+    Exact: equals the chained segment trace (ties may resolve either way)."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    S = len(ps_segs)
+    R = o.shape[0]
+    K = min(k_pairs, S)
+    PR = ps_segs[0].pairs.shape[0]
+    LR = ps_segs[0].leaf_geo.shape[0]
+    packet = rows * 128
+    slot_pair, steer, pair_slot, over = _rebin_layout(
+        o, d, t_max, seg_min, seg_max, packet, K)
+    ray_of = jnp.maximum(slot_pair, 0) // K
+    o_s = o[ray_of]
+    d_s = d[ray_of]
+    t_s = jnp.where(slot_pair >= 0, t_max[ray_of], jnp.float32(-1.0))
+    h = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer, o_s, d_s, t_s,
+        False, itp, rows, wide=ps_segs[0].wide, loop=True, tag=tag + "rb")
+    # merge the <=K candidate hits per ray: inverse gather + row min
+    ps_i = jnp.maximum(pair_slot, 0)
+    t_p = jnp.where(pair_slot >= 0, h.t[ps_i], jnp.inf)
+    slot_p = jnp.where(pair_slot >= 0, h.slot[ps_i], -1)
+    # prefer real hits over miss records (miss keeps t = t_max)
+    t_rank = jnp.where(slot_p >= 0, t_p, jnp.inf)
+    kb = jnp.argmin(t_rank, axis=1)[:, None]
+    take = lambda a: jnp.take_along_axis(a, kb, axis=1)[:, 0]
+    slot_b = take(slot_p)
+    best = Hit(
+        t=jnp.where(slot_b >= 0, take(t_p), t_max),
+        slot=slot_b,
+        u=jnp.where(slot_b >= 0, take(h.u[ps_i]), 0.0),
+        v=jnp.where(slot_b >= 0, take(h.v[ps_i]), 0.0),
+    )
+    # exact residual: rays whose box count exceeds K re-run the steered
+    # path with the (tight) running best as t_max — only a closer hit in a
+    # not-yet-traced segment can land, and near-first candidate order makes
+    # that rare
+    t_over = jnp.where(over & (t_max > 0.0), best.t, jnp.float32(-1.0))
+
+    def residual(b):
+        h2 = packet_trace_closest_steered(
+            ps_segs, pairs_stack, leaf_stack, seg_min, seg_max,
+            o, d, t_over, interpret=interpret, rows=rows, tag=tag + "rbres")
+        return _merge_hits(b, h2)
+
+    return jax.lax.cond(jnp.any(t_over > 0.0), residual, lambda b: b, best)
+
+
+@partial(jax.jit, static_argnames=("interpret", "rows", "k_pairs", "tag"))
+def packet_trace_any_rebin(ps_segs, pairs_stack, leaf_stack,
+                           seg_min, seg_max, o, d, t_max,
+                           interpret: bool = False,
+                           rows: int = PACKET_ROWS,
+                           k_pairs: int = REBIN_K,
+                           tag: str = ""):
+    """Occlusion over a segmented scene via dense per-segment re-binning."""
+    if jnp.ndim(t_max) == 0:
+        t_max = jnp.full((o.shape[0],), t_max, jnp.float32)
+    t_max = t_max.astype(jnp.float32)
+    itp = interpret or FORCE_INTERPRET
+    S = len(ps_segs)
+    K = min(k_pairs, S)
+    PR = ps_segs[0].pairs.shape[0]
+    LR = ps_segs[0].leaf_geo.shape[0]
+    packet = rows * 128
+    slot_pair, steer, pair_slot, over = _rebin_layout(
+        o, d, t_max, seg_min, seg_max, packet, K)
+    ray_of = jnp.maximum(slot_pair, 0) // K
+    o_s = o[ray_of]
+    d_s = d[ray_of]
+    t_s = jnp.where(slot_pair >= 0, t_max[ray_of], jnp.float32(-1.0))
+    h = _pallas_trace_steered(
+        pairs_stack, leaf_stack, PR, LR, steer, o_s, d_s, t_s,
+        True, itp, rows, wide=ps_segs[0].wide, loop=True, tag=tag + "rb")
+    ps_i = jnp.maximum(pair_slot, 0)
+    occ = jnp.any((pair_slot >= 0) & (h.slot[ps_i] >= 0), axis=1)
+    t_over = jnp.where(over & ~occ & (t_max > 0.0), t_max,
+                       jnp.float32(-1.0))
+
+    def residual(oc):
+        return oc | packet_trace_any_steered(
+            ps_segs, pairs_stack, leaf_stack, seg_min, seg_max,
+            o, d, t_over, interpret=interpret, rows=rows, tag=tag + "rbres")
+
+    return jax.lax.cond(jnp.any(t_over > 0.0), residual, lambda oc: oc, occ)

@@ -29,8 +29,9 @@ import numpy as np
 from ..ops.intersect import ray_sphere
 from ..ops.packet_trace import (
     BOUNCE_ROWS, PACKET, PACKET_ROWS, WaveSet, packet_trace_any,
-    packet_trace_any_steered, packet_trace_closest,
-    packet_trace_closest_steered, segment_wave_key)
+    packet_trace_any_rebin, packet_trace_any_steered, packet_trace_closest,
+    packet_trace_closest_rebin, packet_trace_closest_steered,
+    segment_wave_key)
 from ..ops.trace import (
     Hit, SceneArrays, trace_any, trace_any_two_level, trace_closest,
     trace_closest_two_level)
@@ -338,10 +339,75 @@ class PathTracer:
                 uv_area / np.maximum(world_area, 1e-20)).astype(np.float32)
             return attr
 
-        parts = [_pack_attr(scene.tri_uv, scene.tri_gn, scene.tri_n,
-                            scene.tri_mat, scene.tri_e1, scene.tri_e2,
-                            sh_rows=slot_shading)]
+        def _pack_attr_dev(tri_uv, tri_gn, tri_n, tri_mat, tri_e1, tri_e2,
+                           sh_rows, mat_f_d, alphas_d, cutoffs_d):
+            """Device-side twin of _pack_attr: the static scene's triangle
+            arrays already live in HBM, so packing them on device (all
+            elementwise + two small gathers) avoids three full host round
+            trips of the ~400 MB table (device→host pull, host pack,
+            re-upload) that dominated tracer init at 2.8M tris. f32 tangent
+            math (vs host f64) only perturbs sub-ulp snorm16 codes."""
+            from ..utils.compression import compress_normal_xp
+
+            mat = tri_mat.astype(jnp.int32)
+            uv6 = tri_uv.reshape(-1, 6).astype(jnp.float32)
+            gn = tri_gn.astype(jnp.float32)
+            n_u = tri_n.astype(jnp.uint32)
+            uv3 = tri_uv.reshape(-1, 3, 2).astype(jnp.float32)
+            e1 = tri_e1.astype(jnp.float32)
+            e2 = tri_e2.astype(jnp.float32)
+            du1 = uv3[:, 1] - uv3[:, 0]
+            du2 = uv3[:, 2] - uv3[:, 0]
+            det = du1[:, 0] * du2[:, 1] - du2[:, 0] * du1[:, 1]
+            ok = jnp.abs(det) > 1e-12
+            rdet = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)[:, None]
+            tan = (e1 * du2[:, 1:2] - e2 * du1[:, 1:2]) * rdet
+            bit = (e2 * du1[:, 0:1] - e1 * du2[:, 0:1]) * rdet
+            fb = jnp.cross(gn, jnp.where(jnp.abs(gn[:, :1]) < 0.9,
+                                         jnp.asarray([[1.0, 0.0, 0.0]]),
+                                         jnp.asarray([[0.0, 1.0, 0.0]])))
+            tl = jnp.linalg.norm(tan, axis=-1, keepdims=True)
+            tan = jnp.where((tl > 1e-12) & ok[:, None],
+                            tan / jnp.maximum(tl, 1e-12), fb)
+            bl = jnp.linalg.norm(bit, axis=-1, keepdims=True)
+            bit = jnp.where((bl > 1e-12) & ok[:, None],
+                            bit / jnp.maximum(bl, 1e-12), jnp.cross(gn, fb))
+            tan_u = compress_normal_xp(tan, jnp)
+            bit_u = compress_normal_xp(bit, jnp)
+            uv_area = 0.5 * jnp.abs(det)
+            world_area = 0.5 * jnp.linalg.norm(jnp.cross(e1, e2), axis=-1)
+            uvden = jnp.sqrt(uv_area / jnp.maximum(world_area, 1e-20))
+            f32 = lambda a: a.astype(jnp.float32)
+            col = lambda a: f32(a)[:, None]
+            return jnp.concatenate([
+                uv6,                                    # 0:6
+                gn,                                     # 6:9
+                f32(n_u & 0xFFFF),                      # 9:12
+                mat_f_d[mat],                           # 12:25
+                col(mat),                               # 25
+                col(tan_u & 0xFFFF),                    # 26
+                col(bit_u & 0xFFFF),                    # 27
+                col(alphas_d[mat]),                     # 28
+                col(cutoffs_d[mat]),                    # 29
+                col(uvden),                             # 30
+                f32(n_u >> 16),                         # 31:34
+                col(tan_u >> 16),                       # 34
+                col(bit_u >> 16),                       # 35
+                sh_rows,                                # 36:46
+            ], axis=-1)
+
         from ..scene.scene_db import MeshShading as _MS
+        n_static = int(scene.tri_mat.shape[0])
+        sh_rows_d = (
+            jnp.broadcast_to(jnp.asarray(_MS.ROW_DEFAULT, jnp.float32),
+                             (n_static, 10))
+            if slot_shading is None
+            else jnp.asarray(slot_shading, jnp.float32))
+        parts = [jax.jit(_pack_attr_dev)(
+            scene.tri_uv, scene.tri_gn, scene.tri_n, scene.tri_mat,
+            scene.tri_e1, scene.tri_e2, sh_rows_d, jnp.asarray(mat_f),
+            jnp.asarray(alphas_np, jnp.float32),
+            jnp.asarray(cutoffs_np, jnp.float32))]
         self._has_mesh_shading = bool(
             slot_shading is not None
             and np.any(np.asarray(slot_shading, np.float32)
@@ -350,8 +416,9 @@ class PathTracer:
         # InstanceSet point here); their frames are LOCAL space — shading
         # rotates by the per-instance normal matrix
         for src in (inst_attr_srcs or []):
-            parts.append(_pack_attr(src.uv, src.geom_normal, src.n_packed,
-                                    src.mat, src.e1, src.e2))
+            parts.append(jnp.asarray(_pack_attr(
+                src.uv, src.geom_normal, src.n_packed,
+                src.mat, src.e1, src.e2)))
         # Attribute-table layout (IDK_ATTR_ROWS, default row-padded):
         #   rows=1: (n_slots, 128) rows — the ATTR_CH channels live in
         #     lanes 0:ATTR_CH of a full 128-lane row. A per-hit fetch is
@@ -365,17 +432,17 @@ class PathTracer:
         #     to the (n_slots,ATTR_CH) column-major layout XLA chose before
         #     (layouts are the compiler's choice); tools/bench_attr.py
         #     records the failed packed4 middle ground.
-        packed = np.concatenate(parts, axis=0)
-        assert np.isfinite(packed).all(), "attr table must stay NaN/Inf-free"
+        packed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
+        assert bool(jnp.isfinite(packed).all()), \
+            "attr table must stay NaN/Inf-free"
         if int(os.environ.get("IDK_ATTR_ROWS", "1")):
             # rows padded to a sublane multiple, and never exactly ATTR_CH
             # so the shape can't be mistaken for a channel-first table
             nr = max((packed.shape[0] + 7) // 8 * 8, 48)
-            rowsp = np.zeros((nr, 128), np.float32)
-            rowsp[: packed.shape[0], :ATTR_CH] = packed
-            self._attr = jnp.asarray(rowsp)
+            self._attr = jnp.zeros((nr, 128), jnp.float32).at[
+                : packed.shape[0], :ATTR_CH].set(packed)
         else:
-            self._attr = jnp.asarray(np.ascontiguousarray(packed.T))
+            self._attr = jnp.ascontiguousarray(packed.T)
         self.instances = instances
         # static feature gates: keep the hot path untouched for scenes
         # without alpha-tested or normal-mapped materials
@@ -491,7 +558,16 @@ class PathTracer:
         use_tp = (s.use_two_phase and use_steered
                   and wave_boxes.first_stack is not None)
 
-        def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS, tag=""):
+        # dense per-segment re-binned scheduling for INCOHERENT rays
+        # (bounce + NEE): per-ray pair expansion instead of per-packet
+        # segment unions — see ops/packet_trace.py rebin section. Primary
+        # rays stay on the packet-union steered loop (they are coherent, so
+        # the union IS small and the in-kernel best-t carry prunes better).
+        use_rebin = use_steered and bool(int(os.environ.get("IDK_REBIN",
+                                                            "1")))
+
+        def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS, tag="",
+                     rebin=False):
             """Returns (Hit, inst_id|None)."""
             if instances is not None:
                 # two-level: static merged BLAS + per-instance BLASes
@@ -509,7 +585,9 @@ class PathTracer:
                     w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows), None
             if use_steered:
                 w_ = wave_boxes
-                return packet_trace_closest_steered(
+                fn = (packet_trace_closest_rebin if (rebin and use_rebin)
+                      else packet_trace_closest_steered)
+                return fn(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
                     w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows,
                     tag=tag), None
@@ -518,7 +596,8 @@ class PathTracer:
                                             rows=rows, tag=tag), None
             return _trace_maybe_tiled(scene, o_, d_, t_max_, s, sort_key), None
 
-        def _occluded(o_, d_, t_max_, rows=PACKET_ROWS, tag=""):
+        def _occluded(o_, d_, t_max_, rows=PACKET_ROWS, tag="",
+                      rebin=False):
             if instances is not None:
                 return trace_any_two_level(
                     scene, instances.scenes, instances.inv, instances.boxes,
@@ -532,7 +611,9 @@ class PathTracer:
                     w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
             if use_steered:
                 w_ = wave_boxes
-                return packet_trace_any_steered(
+                fn = (packet_trace_any_rebin if (rebin and use_rebin)
+                      else packet_trace_any_steered)
+                return fn(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
                     w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows,
                     tag=tag)
@@ -579,12 +660,13 @@ class PathTracer:
                              jnp.where(cut_ > 0.0, a_ >= cut_, u_a < a_))
             return state_, keep
 
-        def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows, tag=""):
+        def _closest_alpha(state_, o_, d_, t_max_, sort_key, rows, tag="",
+                           rebin=False):
             """Closest hit with up to alpha_rounds stochastic re-traces past
             alpha-discarded surfaces. Absolute-t semantics preserved.
             Returns (state, Hit, inst_id|None)."""
             hit_, inst_ = _closest(o_, d_, t_max_, sort_key, rows=rows,
-                                   tag=tag)
+                                   tag=tag, rebin=rebin)
             if not self._has_alpha:
                 return state_, hit_, inst_
             t_base = jnp.zeros_like(t_max_)
@@ -605,7 +687,7 @@ class PathTracer:
                 t_base = jnp.where(redo, t_base + adv, t_base)
                 tm_rel = jnp.where(redo, t_max_ - t_base, jnp.float32(-1.0))
                 h2, i2 = _closest(o_cur, d_, tm_rel, None, rows=rows,
-                                  tag=tag + "a")
+                                  tag=tag + "a", rebin=rebin)
                 hit_ = Hit(
                     t=jnp.where(redo, h2.t, hit_.t),
                     slot=jnp.where(redo, h2.slot, hit_.slot),
@@ -617,12 +699,14 @@ class PathTracer:
             return state_, Hit(t=t_base + hit_.t, slot=hit_.slot,
                                u=hit_.u, v=hit_.v), inst_
 
-        def _shadow_occluded(state_, o_, d_, t_max_, rows, tag=""):
+        def _shadow_occluded(state_, o_, d_, t_max_, rows, tag="",
+                             rebin=False):
             """Occlusion with alpha transparency: transparent surfaces pass
             shadow rays stochastically (ref: ShadowsRayTraced/compute.glsl:
             96-117 attenuates through alpha surfaces)."""
             if not self._has_alpha:
-                return state_, _occluded(o_, d_, t_max_, rows=rows, tag=tag)
+                return state_, _occluded(o_, d_, t_max_, rows=rows,
+                                         tag=tag, rebin=rebin)
             occ = jnp.zeros(t_max_.shape, bool)
             t_base = jnp.zeros_like(t_max_)
             o_cur = o_
@@ -630,7 +714,7 @@ class PathTracer:
             for _ in range(self.alpha_rounds):
                 tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
                 h, _i = _closest(o_cur, d_, tm_rel, None, rows=rows,
-                                 tag=tag + "a")
+                                 tag=tag + "a", rebin=rebin)
                 hitm = active & (h.slot >= 0)
                 state_, keep = _alpha_keep(h, state_)
                 occ = occ | (hitm & keep)
@@ -642,7 +726,7 @@ class PathTracer:
             # conservative tail: anything still blocking past the last round
             tm_rel = jnp.where(active, t_max_ - t_base, jnp.float32(-1.0))
             occ = occ | _occluded(o_cur, d_, tm_rel, rows=rows,
-                                  tag=tag + "a")
+                                  tag=tag + "a", rebin=rebin)
             return state_, occ
 
         def _morton_spread(v):
@@ -743,7 +827,7 @@ class PathTracer:
             trace_rows = PACKET_ROWS if bounce == 0 else BOUNCE_ROWS
             state, hit, hit_inst = _closest_alpha(
                 state, o, d, t_max, sort_key, trace_rows,
-                tag="pri" if bounce == 0 else "bnc")
+                tag="pri" if bounce == 0 else "bnc", rebin=bounce > 0)
 
             # analytic light spheres (ref: BVHIntersect.glsl:189-203 traces
             # lights before the BLAS)
@@ -979,14 +1063,15 @@ class PathTracer:
                     state, occ_s = _shadow_occluded(
                         state, jnp.stack([sox, soy, soz], -1),
                         jnp.stack([sdx, sdy, sdz], -1), stm, trace_rows,
-                        tag="nee")
+                        tag="nee", rebin=True)
                     _, occ_i = jax.lax.sort(
                         (sidx, occ_s.astype(jnp.int32)), num_keys=1,
                         is_stable=False)
                     occluded = occ_i != 0
                 else:
                     state, occluded = _shadow_occluded(
-                        state, sh_o, ldir, sh_tmax, trace_rows, tag="nee")
+                        state, sh_o, ldir, sh_tmax, trace_rows, tag="nee",
+                        rebin=True)
                 # full GGX BRDF (diffuse + rough specular); only near-delta
                 # specular and transmission are left to BSDF sampling
                 brdf_cos = shading.ggx_brdf(ns, -d, ldir, albedo, metallic, roughness)
@@ -1020,7 +1105,7 @@ class PathTracer:
                     do_enee.astype(jnp.float32))
                 state, occluded_e = _shadow_occluded(
                     state, hp_point + gn * eps_e[..., None], edir, e_tmax,
-                    trace_rows, tag="env")
+                    trace_rows, tag="env", rebin=True)
                 brdf_e = shading.ggx_brdf(ns, -d, edir, albedo, metallic,
                                           roughness)
                 brdf_e = brdf_e * (1.0 - transmission)[..., None]

@@ -22,7 +22,8 @@ import numpy as np
 
 from ..bvh import BLAS
 from ..bvh.builder import BuildSettings
-from ..bvh.flatten import flatten_triangles, thread_bvh
+from ..bvh.flatten import (flatten_triangles,
+                           flatten_triangles_device, thread_bvh)
 from ..log import get_logger
 from ..ops.trace import SceneArrays
 from ..utils import mathutil as mu
@@ -180,7 +181,7 @@ class SceneDatabase:
         self.blas = BLAS(self._verts, self._indices, self.build_settings)
         self._flat, slot_perm = thread_bvh(self.blas.nodes)
         self._slot_tri = self.blas.tri_indices[slot_perm]
-        ft = flatten_triangles(
+        ft = flatten_triangles_device(
             self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
         )
         self.device_scene = SceneArrays.from_flat(
@@ -270,12 +271,16 @@ class SceneDatabase:
         self.wave_leaf_stack = None
         self._wave_tables = None
         if self.build_settings.max_leaf_triangle_count <= MAX_LEAF_PACKET:
+            from ..ops.packet_trace import packet_vmem_estimate
+
             try:
-                tables = build_packet_tables(
-                    self.blas.nodes, self.blas.tri_indices, self._verts, self._indices
-                )
-                self.meta.packet_vmem_bytes = tables.vmem_bytes
-                if tables.vmem_bytes <= PACKET_VMEM_BUDGET:
+                vmem_est = packet_vmem_estimate(
+                    self.blas.nodes)  # exact, no geometry pack
+                self.meta.packet_vmem_bytes = vmem_est
+                if vmem_est <= PACKET_VMEM_BUDGET:
+                    tables = build_packet_tables(
+                        self.blas.nodes, self.blas.tri_indices, self._verts,
+                        self._indices)
                     self._packet_tables = tables
                     self.packet_scene = PacketScene.from_tables(tables)
                     if tables.leaf_first is not None:
@@ -291,16 +296,15 @@ class SceneDatabase:
                         self.blas.nodes, self.blas.tri_indices,
                         self._verts, self._indices, PACKET_VMEM_BUDGET,
                     )
-                    self._pad_tables_common(segs)
                     self._packet_tables = segs
-                    self.packet_scene = tuple(
-                        PacketScene.from_tables(t) for t in segs
-                    )
+                    scenes, p_d, l_d, f_d, c_d = self._stack_tables(segs)
+                    self.packet_scene = tuple(scenes)
+                    self._packet_stack_d = (p_d, l_d, f_d, c_d)
                     log.info(
                         "scene over the %.0f MB VMEM budget (%.1f MB): "
                         "packet tracer split into %d subtree segments "
                         "(max %.1f MB)", PACKET_VMEM_BUDGET / 1e6,
-                        tables.vmem_bytes / 1e6, len(segs),
+                        vmem_est / 1e6, len(segs),
                         max(t.vmem_bytes for t in segs) / 1e6,
                     )
             except AssertionError as e:
@@ -317,7 +321,9 @@ class SceneDatabase:
                 self._wave_tables = self._packet_tables
                 self.wave_scene = self.packet_scene
                 self._set_wave_boxes(self._packet_tables)
-                self._set_wave_stack(self._packet_tables)
+                (self.wave_pairs_stack, self.wave_leaf_stack,
+                 self.wave_first_stack, self.wave_count_stack) = \
+                    self._packet_stack_d
 
     def _build_wave_scene(self, total_bytes: int):
         """Segment the BVH into ~IDK_WAVE_SEGS treelets for the wave tracer
@@ -344,10 +350,11 @@ class SceneDatabase:
             log.warning("wave segments unavailable: %s", e)
             return
         self._wave_tables = segs
-        self._pad_tables_common(segs)
-        self.wave_scene = tuple(PacketScene.from_tables(t) for t in segs)
+        scenes, p_d, l_d, f_d, c_d = self._stack_tables(segs)
+        self.wave_scene = tuple(scenes)
         self._set_wave_boxes(segs)
-        self._set_wave_stack(segs)
+        self.wave_pairs_stack, self.wave_leaf_stack = p_d, l_d
+        self.wave_first_stack, self.wave_count_stack = f_d, c_d
         log.info("wave tracer: %d segments (max %.2f MB)", len(segs),
                  max(t.vmem_bytes for t in segs) / 1e6)
 
@@ -371,30 +378,56 @@ class SceneDatabase:
         )
 
     @staticmethod
-    def _pad_tables_common(tables):
+    def _stack_tables(tables):
         """Zero-pad every segment's node/leaf tables to one common shape so
         a SINGLE Mosaic kernel compilation serves all segments (distinct
-        shapes would each compile their own kernel — minutes per segment)."""
+        shapes would each compile their own kernel — minutes per segment) —
+        writing them ONCE into row-concatenated stacks (the steered kernel's
+        dynamic-offset DMA source). Each table's arrays become views of the
+        stack; per-segment device tables are slices of ONE device_put (this
+        host is memcpy-bound — the old pad-copy → concat-copy → per-segment
+        upload chain was ~10 s of the 2.8M scene build).
+
+        Returns (scenes, pairs_d, leaf_d, first_d, count_d)."""
+        import jax.numpy as jnp
+
+        from ..ops.packet_trace import LEAVES_PER_ROW, PacketScene
+
+        s = len(tables)
         pr = max(t.pairs.shape[0] for t in tables)
         lr = max(t.leaf_geo.shape[0] for t in tables)
-        from ..ops.packet_trace import LEAVES_PER_ROW
-
         ls = lr * LEAVES_PER_ROW
-        for t in tables:
-            if t.pairs.shape[0] < pr:
-                t.pairs = np.concatenate(
-                    [t.pairs, np.zeros((pr - t.pairs.shape[0], 128),
-                                       np.float32)])
-            if t.leaf_geo.shape[0] < lr:
-                t.leaf_geo = np.concatenate(
-                    [t.leaf_geo, np.zeros((lr - t.leaf_geo.shape[0], 128),
-                                          np.float32)])
-            if t.leaf_first is not None and t.leaf_first.shape[0] < ls:
-                pad = ls - t.leaf_first.shape[0]
-                t.leaf_first = np.concatenate(
-                    [t.leaf_first, np.zeros(pad, np.int32)])
-                t.leaf_count = np.concatenate(
-                    [t.leaf_count, np.zeros(pad, np.int32)])
+        pairs_np = np.zeros((s * pr, 128), np.float32)
+        leaf_np = np.zeros((s * lr, 128), np.float32)
+        has_lf = all(t.leaf_first is not None for t in tables)
+        first_np = np.zeros(s * ls, np.int32) if has_lf else None
+        count_np = np.zeros(s * ls, np.int32) if has_lf else None
+        for i, t in enumerate(tables):
+            pairs_np[i * pr: i * pr + t.pairs.shape[0]] = t.pairs
+            leaf_np[i * lr: i * lr + t.leaf_geo.shape[0]] = t.leaf_geo
+            t.pairs = pairs_np[i * pr: (i + 1) * pr]
+            t.leaf_geo = leaf_np[i * lr: (i + 1) * lr]
+            if has_lf:
+                first_np[i * ls: i * ls + t.leaf_first.shape[0]] = t.leaf_first
+                count_np[i * ls: i * ls + t.leaf_count.shape[0]] = t.leaf_count
+                t.leaf_first = first_np[i * ls: (i + 1) * ls]
+                t.leaf_count = count_np[i * ls: (i + 1) * ls]
+        pairs_d = jnp.asarray(pairs_np)
+        leaf_d = jnp.asarray(leaf_np)
+        first_d = jnp.asarray(first_np) if has_lf else None
+        count_d = jnp.asarray(count_np) if has_lf else None
+        scenes = [
+            PacketScene(pairs_d[i * pr: (i + 1) * pr],
+                        leaf_d[i * lr: (i + 1) * lr], wide=t.wide)
+            for i, t in enumerate(tables)
+        ]
+        return scenes, pairs_d, leaf_d, first_d, count_d
+
+    @staticmethod
+    def _pad_tables_common(tables):
+        """Back-compat shim: pad segment tables to one common shape
+        (now done by _stack_tables, whose stacks this discards)."""
+        SceneDatabase._stack_tables(tables)
 
     def _set_wave_boxes(self, tables):
         self.wave_seg_min = np.stack(
@@ -404,21 +437,25 @@ class SceneDatabase:
 
     def _set_wave_stack(self, tables):
         """Row-concatenated (common-shaped) segment tables for the
-        multi-steer kernel's dynamic-offset table DMAs."""
+        multi-steer kernel's dynamic-offset table DMAs. When the tables are
+        views of one _stack_tables base (the common case), the stack is just
+        a device_put of that base — no host concat."""
         import jax.numpy as jnp
 
-        self.wave_pairs_stack = jnp.asarray(
-            np.concatenate([t.pairs for t in tables], axis=0))
-        self.wave_leaf_stack = jnp.asarray(
-            np.concatenate([t.leaf_geo for t in tables], axis=0))
+        def _stacked(arrs, n_total=None):
+            base = arrs[0].base
+            if base is not None and all(a.base is base for a in arrs):
+                return jnp.asarray(base)
+            return jnp.asarray(np.concatenate(arrs, axis=0))
+
+        self.wave_pairs_stack = _stacked([t.pairs for t in tables])
+        self.wave_leaf_stack = _stacked([t.leaf_geo for t in tables])
         if all(t.leaf_first is not None for t in tables):
             # per-leaf-slot side tables for the two-phase tracer
             # (ops/two_phase.py): global first tri slot + count by the
             # stacked leaf row id st*LS + slot
-            self.wave_first_stack = jnp.asarray(
-                np.concatenate([t.leaf_first for t in tables]))
-            self.wave_count_stack = jnp.asarray(
-                np.concatenate([t.leaf_count for t in tables]))
+            self.wave_first_stack = _stacked([t.leaf_first for t in tables])
+            self.wave_count_stack = _stacked([t.leaf_count for t in tables])
         else:
             self.wave_first_stack = self.wave_count_stack = None
 
@@ -482,7 +519,7 @@ class SceneDatabase:
         # refit the builder BVH (C++, bottom-up) and refresh device arrays
         self.blas.refit(self._verts)
         self._flat.refresh_boxes(self.blas.nodes)
-        ft = flatten_triangles(
+        ft = flatten_triangles_device(
             self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
         )
         self.device_scene = SceneArrays.from_flat(
@@ -837,7 +874,7 @@ class SceneDatabase:
         self.blas.refit(self._verts)
         self._flat, slot_perm = thread_bvh(self.blas.nodes)
         self._slot_tri = self.blas.tri_indices[slot_perm]
-        ft = flatten_triangles(
+        ft = flatten_triangles_device(
             self._slot_tri, self._verts, self._indices, self._normals, self._uvs, self._tri_mat
         )
         self.device_scene = SceneArrays.from_flat(

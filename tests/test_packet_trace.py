@@ -337,3 +337,92 @@ class TestWaveTracing:
             smin, smax, o, d, tm, interpret=True, rows=8)
         np.testing.assert_array_equal(np.asarray(base), np.asarray(wave))
         np.testing.assert_array_equal(np.asarray(base), np.asarray(steer))
+
+
+class TestRebinTracing:
+    """Dense per-segment re-binned tracer (round 5) must match the chained
+    trace exactly, including the over-K / over-budget residual routes."""
+
+    _scene = TestWaveTracing._scene
+    _rays = TestWaveTracing._rays
+
+    def test_rebin_closest_matches_chained(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+
+        db, sc = self._scene()
+        assert db.wave_scene is not None and len(db.wave_scene) >= 2
+        o, d = self._rays(sc)
+        tm = jnp.full((o.shape[0],), 3.4e38, jnp.float32)
+        smin = jnp.asarray(db.wave_seg_min)
+        smax = jnp.asarray(db.wave_seg_max)
+        base = pt.packet_trace_closest(db.packet_scene, o, d, tm,
+                                       interpret=True, rows=8)
+        for k_pairs in (2, 4):  # k=2 exercises the over-K residual heavily
+            h = pt.packet_trace_closest_rebin(
+                db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+                smin, smax, o, d, tm, interpret=True, rows=8,
+                k_pairs=k_pairs)
+            bs, hs = np.asarray(base.slot), np.asarray(h.slot)
+            bt, ht = np.asarray(base.t), np.asarray(h.t)
+            np.testing.assert_array_equal(bs >= 0, hs >= 0,
+                                          err_msg=f"k={k_pairs}")
+            hit = bs >= 0
+            np.testing.assert_allclose(bt[hit], ht[hit], rtol=1e-6,
+                                       err_msg=f"k={k_pairs}")
+            diff = (bs != hs) & hit
+            assert np.all(np.abs(bt[diff] - ht[diff])
+                          <= 1e-6 * np.abs(bt[diff]) + 1e-6), (
+                k_pairs, np.nonzero(diff)[0][:5])
+
+    def test_rebin_budget_overflow_residual(self, monkeypatch):
+        """A tiny slot budget must push pairs into the residual, not lose
+        them."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+
+        db, sc = self._scene()
+        o, d = self._rays(sc, n=2048)
+        tm = jnp.full((o.shape[0],), 3.4e38, jnp.float32)
+        smin = jnp.asarray(db.wave_seg_min)
+        smax = jnp.asarray(db.wave_seg_max)
+        base = pt.packet_trace_closest(db.packet_scene, o, d, tm,
+                                       interpret=True, rows=8)
+        monkeypatch.setattr(pt, "REBIN_BUDGET", 0.5)
+        pt.packet_trace_closest_rebin.clear_cache()
+        try:
+            h = pt.packet_trace_closest_rebin(
+                db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+                smin, smax, o, d, tm, interpret=True, rows=8, k_pairs=3)
+        finally:
+            pt.packet_trace_closest_rebin.clear_cache()
+        bs, hs = np.asarray(base.slot), np.asarray(h.slot)
+        bt, ht = np.asarray(base.t), np.asarray(h.t)
+        np.testing.assert_array_equal(bs >= 0, hs >= 0)
+        hit = bs >= 0
+        np.testing.assert_allclose(bt[hit], ht[hit], rtol=1e-6)
+
+    def test_rebin_any_matches_chained(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        import idkengine_tpu.ops.packet_trace as pt
+
+        db, sc = self._scene()
+        o, d = self._rays(sc)
+        tm = jnp.full((o.shape[0],), 15.0, jnp.float32)
+        smin = jnp.asarray(db.wave_seg_min)
+        smax = jnp.asarray(db.wave_seg_max)
+        base = pt.packet_trace_any(db.packet_scene, o, d, tm,
+                                   interpret=True, rows=8)
+        for k_pairs in (2, 4):
+            occ = pt.packet_trace_any_rebin(
+                db.wave_scene, db.wave_pairs_stack, db.wave_leaf_stack,
+                smin, smax, o, d, tm, interpret=True, rows=8,
+                k_pairs=k_pairs)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(occ),
+                                          err_msg=f"k={k_pairs}")
