@@ -1981,6 +1981,8 @@ REBIN_K = int(os.environ.get("IDK_REBIN_K", "6"))
 # measured live mean is 2.84 pairs/ray at 2.8M (p99 6), so 3.25R holds the
 # whole distribution; anything past the budget routes to the exact residual
 REBIN_BUDGET = float(os.environ.get("IDK_REBIN_BUDGET", "3.25"))
+# ablation/debug: 0 skips the exact over-K residual (INEXACT — bench only)
+REBIN_RESIDUAL = int(os.environ.get("IDK_REBIN_RESIDUAL", "1"))
 
 
 def _rebin_layout(o, d, t_max, seg_min, seg_max, packet, K):
@@ -2078,6 +2080,8 @@ def packet_trace_closest_rebin(ps_segs, pairs_stack, leaf_stack,
     # path with the (tight) running best as t_max — only a closer hit in a
     # not-yet-traced segment can land, and near-first candidate order makes
     # that rare
+    if not REBIN_RESIDUAL:
+        return best
     t_over = jnp.where(over & (t_max > 0.0), best.t, jnp.float32(-1.0))
 
     def residual(b):
@@ -2117,6 +2121,8 @@ def packet_trace_any_rebin(ps_segs, pairs_stack, leaf_stack,
         True, itp, rows, wide=ps_segs[0].wide, loop=True, tag=tag + "rb")
     ps_i = jnp.maximum(pair_slot, 0)
     occ = jnp.any((pair_slot >= 0) & (h.slot[ps_i] >= 0), axis=1)
+    if not REBIN_RESIDUAL:
+        return occ
     t_over = jnp.where(over & ~occ & (t_max > 0.0), t_max,
                        jnp.float32(-1.0))
 

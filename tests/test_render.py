@@ -1179,3 +1179,56 @@ def test_mip_lod_in_path_tracer_kills_floor_shimmer():
     assert std_flat > 2.5 * std_mip, (
         f"mip sampling should kill distant shimmer: {std_mip} vs {std_flat}")
     assert abs(alb_mip[far].mean() - alb_flat[far].mean()) < 0.12
+
+
+def test_pipeline_denoise_auto_threshold_default32():
+    """The shipping auto-denoise threshold (VERDICT r4 #6): with the default
+    PtPipelineSettings (denoise_at_samples=32, output='denoised') the
+    pipeline must emit the plain tonemapped accumulation below 32 samples
+    and switch to the à-trous denoised image exactly at the threshold."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from idkengine_tpu.render import Camera, PathTracerSettings
+    from idkengine_tpu.render import bloom as _unused  # noqa: F401
+    from idkengine_tpu.render.pipeline import (PathTracerPipeline,
+                                               PtPipelineSettings)
+    from idkengine_tpu.render.tonemap import tonemap
+    from idkengine_tpu.scene.procedural import cornell_box
+    from idkengine_tpu.scene.scene_db import SceneDatabase
+
+    db = SceneDatabase()
+    db.add_model(cornell_box(emissive_quad=True))
+    db.build()
+    s = PtPipelineSettings(use_bloom=False, adaptive_rate=False)
+    assert s.denoise_at_samples == 32 and s.output == "denoised"
+    pipe = PathTracerPipeline(
+        db, 32, 32,
+        PathTracerSettings(ray_depth=2, sky_strength=0.0,
+                           use_packet_tracer=False),
+        settings=s)
+    cam = Camera(position=np.array([278, 273, -800], np.float32), yaw=90.0,
+                 fov_y=38.0)
+    out31 = None
+    for i in range(32):
+        out = np.asarray(pipe.render_frame(cam))
+        if i == 30:
+            out31 = out
+    assert pipe.pt.accumulated_samples == 32
+    assert out31 is not None
+    # at the threshold: output is the DENOISED image, not the raw tonemap
+    raw32 = np.asarray(tonemap(pipe.pt.image()))
+    assert not np.allclose(out, raw32, atol=1e-4), \
+        "at 32 samples the output must be the denoised image"
+    # below the threshold the pipeline is pass-through: a fresh 31-frame
+    # accumulation's output equals tonemap(raw accumulation) exactly
+    pipe2 = PathTracerPipeline(
+        db, 32, 32,
+        PathTracerSettings(ray_depth=2, sky_strength=0.0,
+                           use_packet_tracer=False),
+        settings=s)
+    for _ in range(31):
+        out2 = np.asarray(pipe2.render_frame(cam))
+    raw31 = np.asarray(tonemap(pipe2.pt.image()))
+    np.testing.assert_allclose(out2, raw31, atol=1e-5,
+                               err_msg="below 32 samples: pass-through")
