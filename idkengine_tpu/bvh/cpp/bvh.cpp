@@ -495,6 +495,19 @@ struct Builder {
 
   // ---- Binned top phase -----------------------------------------------
   static constexpr int kBins = 32;  // 5 bits/axis pack into one u32 key
+  // Ranges below this bin only the dominant centroid axis (IDK_BVH_ONE_AXIS
+  // overrides). Default OFF: measured at 2.75M on one core, one-axis below
+  // 4096 saves only 7% build time (the pass is memory-bound on the 40 B
+  // records, not min/max-bound) while SAH degrades 120.7 -> 127.3; one-axis
+  // everywhere saves 18% at SAH 137.8. Kept as a knob + negative result.
+  static uint32_t one_axis_max() {
+    if (const char* e = std::getenv("IDK_BVH_ONE_AXIS")) {
+      long v = std::atol(e);
+      if (v >= 0) return (uint32_t)v;
+    }
+    return 0;
+  }
+  const uint32_t kOneAxisMax = one_axis_max();
 
   // Materialise the three axis-sorted arrays over [lo,hi) so the exact
   // sweep recursion can take over the subtree. Ties broken by fragment id
@@ -532,7 +545,6 @@ struct Builder {
       build_range(node_index, lo, hi);
       return;
     }
-    std::vector<uint32_t>& ids = axis_idx[0];
     struct Bin { AABB box, cbox; uint32_t count = 0; };
     // Fewer bins for small ranges: the per-call bin zero-init dominates at
     // the tree's bottom, and with n ≈ nb the bin boundaries approach the
@@ -542,6 +554,19 @@ struct Builder {
     float scale[3];
     for (int a = 0; a < 3; a++)
       scale[a] = ext[a] > 1e-30f ? (float)nb / ext[a] : 0.0f;
+    // Below kOneAxisMax, bin ONLY the dominant centroid-extent axis (the
+    // classic fast-binned-SAH reduction): the bin-accumulation pass is the
+    // build's hot loop and 3-axis candidates cost 3x the min/max work for
+    // a quality delta that all but vanishes once ranges are small. The top
+    // of the tree (where a bad split is amortized over millions of rays)
+    // keeps the full 3-axis sweep.
+    int a_begin = 0, a_end = 3;
+    if (n < kOneAxisMax) {
+      int dax = 0;
+      for (int a = 1; a < 3; a++)
+        if (ext[a] > ext[dax]) dax = a;
+      if (scale[dax] != 0.0f) { a_begin = dax; a_end = dax + 1; }
+    }
     std::vector<uint32_t>& keys = t_scratch.keys;
     if (keys.size() < n) keys.resize(n);
     Bin bins[3][kBins];
@@ -554,18 +579,45 @@ struct Builder {
     struct alignas(16) BinV { __m128 bmn, bmx, cmn, cmx; uint32_t count; };
     BinV bv[3][kBins];
     const __m128 vinf = _mm_set1_ps(1e30f), vninf = _mm_set1_ps(-1e30f);
-    for (int a = 0; a < 3; a++)
+    for (int a = a_begin; a < a_end; a++)
       for (int b = 0; b < nb; b++)
         bv[a][b] = {vinf, vninf, vinf, vninf, 0};
     static_assert(sizeof(Fragment) == 40, "SIMD loads assume 10-float layout");
-    for (uint32_t i = 0; i < n; i++) {
-      const float* fp = (const float*)&frags[ids[lo + i]];
-      __m128 fmn = _mm_loadu_ps(fp + 0);
-      __m128 fmx = _mm_loadu_ps(fp + 3);
-      __m128 fc = _mm_loadu_ps(fp + 6);
-      uint32_t key = 0;
-      for (int a = 0; a < 3; a++) {
-        int b = (int)((fp[6 + a] - cbox.mn[a]) * scale[a]);
+    // Fragments are partitioned PHYSICALLY (40-byte records, not index
+    // arrays), so this pass streams the range sequentially. The index-array
+    // variant turned every level below the first into random 40 B gathers
+    // over the whole fragment array (ids get scrambled by partitioning) —
+    // switching to physical partitioning measured 2020 -> ~800 ms for the
+    // whole recursion at 2.75M fragments on one core.
+    if (a_end - a_begin == 3) {
+      for (uint32_t i = 0; i < n; i++) {
+        const float* fp = (const float*)&frags[lo + i];
+        __m128 fmn = _mm_loadu_ps(fp + 0);
+        __m128 fmx = _mm_loadu_ps(fp + 3);
+        __m128 fc = _mm_loadu_ps(fp + 6);
+        uint32_t key = 0;
+        for (int a = 0; a < 3; a++) {
+          int b = (int)((fp[6 + a] - cbox.mn[a]) * scale[a]);
+          b = std::min(std::max(b, 0), nb - 1);
+          BinV& bn = bv[a][b];
+          bn.bmn = _mm_min_ps(bn.bmn, fmn);
+          bn.bmx = _mm_max_ps(bn.bmx, fmx);
+          bn.cmn = _mm_min_ps(bn.cmn, fc);
+          bn.cmx = _mm_max_ps(bn.cmx, fc);
+          bn.count++;
+          key |= (uint32_t)b << (5 * a);
+        }
+        keys[i] = key;
+      }
+    } else {
+      const int a = a_begin;
+      const float cmn = cbox.mn[a], sc = scale[a];
+      for (uint32_t i = 0; i < n; i++) {
+        const float* fp = (const float*)&frags[lo + i];
+        __m128 fmn = _mm_loadu_ps(fp + 0);
+        __m128 fmx = _mm_loadu_ps(fp + 3);
+        __m128 fc = _mm_loadu_ps(fp + 6);
+        int b = (int)((fp[6 + a] - cmn) * sc);
         b = std::min(std::max(b, 0), nb - 1);
         BinV& bn = bv[a][b];
         bn.bmn = _mm_min_ps(bn.bmn, fmn);
@@ -573,11 +625,10 @@ struct Builder {
         bn.cmn = _mm_min_ps(bn.cmn, fc);
         bn.cmx = _mm_max_ps(bn.cmx, fc);
         bn.count++;
-        key |= (uint32_t)b << (5 * a);
+        keys[i] = (uint32_t)b << (5 * a);
       }
-      keys[i] = key;
     }
-    for (int a = 0; a < 3; a++)
+    for (int a = a_begin; a < a_end; a++)
       for (int b = 0; b < nb; b++) {
         float t[4];
         Bin& dst = bins[a][b];
@@ -589,9 +640,9 @@ struct Builder {
       }
 #else
     for (uint32_t i = 0; i < n; i++) {
-      const Fragment& f = frags[ids[lo + i]];
+      const Fragment& f = frags[lo + i];
       uint32_t key = 0;
-      for (int a = 0; a < 3; a++) {
+      for (int a = a_begin; a < a_end; a++) {
         int b = (int)((f.centroid[a] - cbox.mn[a]) * scale[a]);
         b = std::min(std::max(b, 0), nb - 1);
         Bin& bn = bins[a][b];
@@ -605,7 +656,7 @@ struct Builder {
 #endif
     float best_cost = 3.4e38f;
     int best_axis = -1, best_bin = -1;
-    for (int a = 0; a < 3; a++) {
+    for (int a = a_begin; a < a_end; a++) {
       if (scale[a] == 0.0f) continue;
       float rc[kBins];
       AABB right;
@@ -639,13 +690,13 @@ struct Builder {
       // them): positional median split.
       mid = lo + n / 2;
       for (uint32_t k = lo; k < mid; k++) {
-        lbox.grow(frags[ids[k]].box); lcb.grow(frags[ids[k]].centroid);
+        lbox.grow(frags[k].box); lcb.grow(frags[k].centroid);
       }
       for (uint32_t k = mid; k < hi; k++) {
-        rbox.grow(frags[ids[k]].box); rcb.grow(frags[ids[k]].centroid);
+        rbox.grow(frags[k].box); rcb.grow(frags[k].centroid);
       }
     } else {
-      // Two-pointer partition of (id, key) by chosen-axis bin.
+      // Two-pointer partition of (fragment, key) by chosen-axis bin.
       const int shift = 5 * best_axis;
       uint32_t i = 0, j = n;
       while (i < j) {
@@ -654,7 +705,7 @@ struct Builder {
         } else {
           --j;
           std::swap(keys[i], keys[j]);
-          std::swap(ids[lo + i], ids[lo + j]);
+          std::swap(frags[lo + i], frags[lo + j]);
         }
       }
       mid = lo + i;

@@ -1443,8 +1443,15 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
 
         pid = pl.program_id(0)
 
+        # steer words are FLAT-packed 128/row (see _pallas_trace_steered):
+        # a (n_pk, K) scalar-prefetch operand is lane-padded to 128 words
+        # per row in SMEM, which blows the 1 MB budget once n_pk is large
+        def sread(k):
+            p = pid * K + k
+            return steer_ref[p // 128, p % 128]
+
         def start_dma(k, buf):
-            st = steer_ref[pid, k]
+            st = sread(k)
 
             @pl.when(st >= 0)
             def _():
@@ -1461,7 +1468,7 @@ def _make_kernel_steered(any_hit: bool, rows: int, wide: bool, K: int,
         u_cur = jnp.zeros((rows, 128), jnp.float32)
         v_cur = jnp.zeros((rows, 128), jnp.float32)
         for k in range(K):
-            st = steer_ref[pid, k]
+            st = sread(k)
             if k + 1 < K:
                 start_dma(k + 1, (k + 1) % 2)
 
@@ -1591,7 +1598,16 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
         # a second (n_pk, K) f32 suffix operand blew the 1 MB SMEM budget
         # at the 2.8M config (s32+f32 [1024,65] operands -> 'Ran out of
         # memory in memory space smem ... exceeded by 2.1K').
-        pk0 = steer_ref[pid, 0]
+        # The words are FLAT-packed 128/row (see _pallas_trace_steered): a
+        # (n_pk, K) prefetch operand lane-pads each row to 128 words, which
+        # at the rebin path's n_pk (one steer slot per PACKET of ray-segment
+        # pairs) hit u8[1716224] > 1 MB SMEM — the round-5 remote-compile
+        # failure at 1080p ray counts.
+        def sread(k):
+            p = pid * K + k
+            return steer_ref[p // 128, p % 128]
+
+        pk0 = sread(0)
         st0 = (pk0 & 0xFFFF) - 1
 
         @pl.when(st0 >= 0)
@@ -1615,9 +1631,9 @@ def _make_kernel_steered_loop(any_hit: bool, rows: int, wide: bool, K: int,
 
         def body(c):
             k, _cont, s_bits, t_cur, slot_cur, u_cur, v_cur = c
-            st = (steer_ref[pid, k] & 0xFFFF) - 1
+            st = (sread(k) & 0xFFFF) - 1
             buf = jax.lax.rem(k, 2)
-            pk_next = steer_ref[pid, jnp.minimum(k + 1, K - 1)]
+            pk_next = sread(jnp.minimum(k + 1, K - 1))
             # Ordered termination, decided BEFORE the prefetch: slots are
             # near-first and the packed high half carries the suffix-min of
             # the packet's entry t per slot — no segment from k+1 on can
@@ -1714,6 +1730,19 @@ def _pallas_trace_steered(pairs_stack, leaf_stack, PR, LR, steer,
         if suffix is None:
             suffix = jnp.zeros(steer.shape, jnp.float32)
         steer = _pack_steer_suffix(steer, suffix)
+    # Lane-pack the prefetch words: SMEM pads every row of a (n_pk, K)
+    # scalar operand to 128 words, so its true footprint is n_pk*512 B
+    # regardless of K. The rebin path (K=1, one packet per ray-segment pair
+    # group) overflowed the 1 MB SMEM at 1080p ray counts (u8[1716224]);
+    # flat packing costs exactly n_pk*K words and also halves the regular
+    # steered path's footprint. Kernels index [p//128, p%128], p = pid*K+k.
+    L = n_pk * K
+    steer_flat = steer.reshape(L)
+    pad_w = (-L) % 128
+    if pad_w:
+        steer_flat = jnp.concatenate(
+            [steer_flat, jnp.zeros((pad_w,), steer_flat.dtype)])
+    steer = steer_flat.reshape(-1, 128)
     ray_spec_p = pl.BlockSpec((rows, 128), lambda i, steer: (i, 0),
                               memory_space=pltpu.VMEM)
     outs = pl.pallas_call(
