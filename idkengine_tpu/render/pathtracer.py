@@ -565,6 +565,14 @@ class PathTracer:
         # the union IS small and the in-kernel best-t carry prunes better).
         use_rebin = use_steered and bool(int(os.environ.get("IDK_REBIN",
                                                             "1")))
+        # Any-hit (NEE/env shadow) re-binning is gated SEPARATELY and off
+        # by default: rebin schedules every candidate (segment, ray) pair
+        # independently, so an occluded ray still traces ALL its K
+        # candidates — the early-exit that makes shadow rays cheap on the
+        # union-steered path is structurally lost (measured r5: nee 295 ->
+        # 437 ms at 2.8M with rebin-any on).
+        use_rebin_any = use_steered and bool(int(os.environ.get(
+            "IDK_REBIN_NEE", "0")))
 
         def _closest(o_, d_, t_max_, sort_key, rows=PACKET_ROWS, tag="",
                      rebin=False):
@@ -611,7 +619,7 @@ class PathTracer:
                     w_.seg_min, w_.seg_max, o_, d_, t_max_, rows=rows)
             if use_steered:
                 w_ = wave_boxes
-                fn = (packet_trace_any_rebin if (rebin and use_rebin)
+                fn = (packet_trace_any_rebin if (rebin and use_rebin_any)
                       else packet_trace_any_steered)
                 return fn(
                     w_.segs, w_.pairs_stack, w_.leaf_stack,
