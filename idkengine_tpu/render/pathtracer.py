@@ -563,8 +563,17 @@ class PathTracer:
         # segment unions — see ops/packet_trace.py rebin section. Primary
         # rays stay on the packet-union steered loop (they are coherent, so
         # the union IS small and the in-kernel best-t carry prunes better).
+        # DEFAULT OFF (round-5 measurement, tools/bench_bounce_r5.py, real
+        # 1.9M-live bounce batch at the 2.8M bench scene): the rebin KERNEL
+        # wins only 705 -> 588 ms — the ordered-termination suffix bound
+        # had already eaten most of the 16.3-segments-per-packet redundancy
+        # the design targeted — while the (segment, ray) pair layout costs
+        # 1287 ms of gather/sort glue, far more than any layout rework can
+        # recover (the best measured primitive mix still needs ~300 ms).
+        # Bit-exact (agree 1.0000) but a structural net loss; kept as an
+        # env-gated path with this data as the justification.
         use_rebin = use_steered and bool(int(os.environ.get("IDK_REBIN",
-                                                            "1")))
+                                                            "0")))
         # Any-hit (NEE/env shadow) re-binning is gated SEPARATELY and off
         # by default: rebin schedules every candidate (segment, ray) pair
         # independently, so an occluded ray still traces ALL its K

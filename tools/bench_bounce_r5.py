@@ -108,26 +108,28 @@ def main():
     ext_np = np.asarray(sc.node_max[0]) - lo_np
 
     @jax.jit
-    def prep(mat_tbl, lo, ext):
+    def gen(_):
         swz = jnp.asarray(tile_swizzle(w, h))
         pix = swz.astype(jnp.uint32)
         state = rng.init_state(pix, jnp.uint32(0))
         state, u_pix = rng.uniform2(state)
         o, d = generate_rays(cam.ray_params(w, h), w, h, u_pix, px=swz)
         tm = jnp.full((w * h,), 3.4e38, jnp.float32)
-        hit = PT.packet_trace_closest_steered(
-            ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
-            o, d, tm, tag="b5p")
+        return o, d, tm, state
+
+    @jax.jit
+    def prep(hit, o, d, tm, state, ws, tri_n, tri_gn, tri_mat, mat_tbl,
+             lo, ext):
         slot = jnp.maximum(hit.slot, 0)
         u_b, v_b = hit.u, hit.v
         w_b = 1.0 - u_b - v_b
-        n0 = decompress_normal(sc.tri_n[slot, 0], jnp)
-        n1 = decompress_normal(sc.tri_n[slot, 1], jnp)
-        n2 = decompress_normal(sc.tri_n[slot, 2], jnp)
+        n0 = decompress_normal(tri_n[slot, 0], jnp)
+        n1 = decompress_normal(tri_n[slot, 1], jnp)
+        n2 = decompress_normal(tri_n[slot, 2], jnp)
         ns = n0 * w_b[..., None] + n1 * u_b[..., None] + n2 * v_b[..., None]
         ns = ns / jnp.maximum(
             jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
-        gn = sc.tri_gn[slot]
+        gn = tri_gn[slot]
         flip = jnp.sum(gn * d, axis=-1) > 0.0
         gn = jnp.where(flip[..., None], -gn, gn)
         ns = jnp.where(jnp.sum(ns * gn, axis=-1, keepdims=True) < 0.0,
@@ -135,7 +137,7 @@ def main():
         state, u_lobe = rng.uniform(state)
         state, u_dir = rng.uniform2(state)
         inside = jnp.zeros((w * h,), bool)
-        g = mat_tbl[sc.tri_mat[slot]]
+        g = mat_tbl[tri_mat[slot]]
         surf = shading.sample_bsdf(
             d, ns, g[:, 0:3], g[:, 3], g[:, 4], g[:, 5], g[:, 6],
             inside, u_lobe, u_dir)
@@ -155,11 +157,20 @@ def main():
         ldist = jnp.linalg.norm(ldir, axis=-1)
         ldirn = ldir / jnp.maximum(ldist[:, None], 1e-9)
         stm = jnp.where(tm2s > 0, ldist - 1e-2, -1.0)
-        return o2s, d2s, tm2s, ldirn, stm
+        return o2s, d2s, tm2s, ldirn, stm, o2, d2, tm2
 
     t0 = time.time()
-    o2s, d2s, tm2s, ldirn, stm = jax.block_until_ready(
-        prep(jnp.asarray(mat_tbl), jnp.asarray(lo_np), jnp.asarray(ext_np)))
+    o, d, tm, state = jax.block_until_ready(gen(jnp.zeros((1,))))
+    print(f"gen {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    hit = jax.block_until_ready(PT.packet_trace_closest_steered(
+        ws.segs, ws.pairs_stack, ws.leaf_stack, ws.seg_min, ws.seg_max,
+        o, d, tm, tag="b5p"))
+    print(f"primary trace (compile+run) {time.time()-t0:.1f}s", flush=True)
+    t0 = time.time()
+    (o2s, d2s, tm2s, ldirn, stm, o2u, d2u, tm2u) = jax.block_until_ready(
+        prep(hit, o, d, tm, state, ws, sc.tri_n, sc.tri_gn, sc.tri_mat,
+             jnp.asarray(mat_tbl), jnp.asarray(lo_np), jnp.asarray(ext_np)))
     print(f"prep (compile+run) {time.time()-t0:.1f}s", flush=True)
     n_live = int(jnp.sum(tm2s > 0))
     print(f"bounce batch: {n_live} live of {w*h}", flush=True)
@@ -179,6 +190,53 @@ def main():
     o_rb = profile_call(lambda: PT.packet_trace_any_rebin(
         *args, o2s, ldirn, stm, rows=rows, tag="n5r"), "any_rebin")
     print(f"any agree: {float(jnp.mean(o_st == o_rb)):.4f}", flush=True)
+
+    if int(os.environ.get("IDK_SWEEP_KEYS", "0")):
+        from functools import partial as _part
+        lo_j = jnp.asarray(lo_np)
+        ext_j = jnp.asarray(ext_np)
+
+        @_part(jax.jit, static_argnames=("nw", "cb", "cell_first"))
+        def sortvar(o2, d2, tm2, nw, cb, cell_first):
+            if nw == 0:
+                oc = ((d2[:, 0] >= 0) * 1 + (d2[:, 1] >= 0) * 2
+                      + (d2[:, 2] >= 0) * 4).astype(jnp.int32)
+                n = 1 << cb
+                q = jnp.clip((o2 - lo_j[None, :])
+                             / jnp.maximum(ext_j[None, :], 1e-6) * n,
+                             0, n - 1).astype(jnp.int32)
+                cell = (q[:, 0] << (2 * cb)) | (q[:, 1] << cb) | q[:, 2]
+                key = (oc << (3 * cb)) | cell
+                key = jnp.where(tm2 > 0, key, jnp.int32(0x7FFFFFFF))
+            else:
+                key = PT.segment_wave_key(o2, d2, tm2, ws.seg_min,
+                                          ws.seg_max, lo_j, ext_j,
+                                          n_waves=nw, cell_bits=cb)
+                if cell_first:
+                    # swap the oct|cell tail to cell|oct
+                    sub = 3 + 3 * cb
+                    head = key >> sub
+                    oc = (key >> (3 * cb)) & 7
+                    cell = key & ((1 << (3 * cb)) - 1)
+                    key = (head << sub) | (cell << 3) | oc
+            p2 = jnp.argsort(key)
+            return o2[p2], d2[p2], tm2[p2]
+
+        for nw, cb, cf in ((2, 4, False), (2, 4, True), (1, 4, False),
+                           (2, 3, False), (2, 5, False), (0, 4, False),
+                           (0, 6, False)):
+            ov, dv, tv = jax.block_until_ready(
+                sortvar(o2u, d2u, tm2u, nw, cb, cf))
+            profile_call(lambda ov=ov, dv=dv, tv=tv:
+                         PT.packet_trace_closest_steered(
+                             *args, ov, dv, tv, rows=rows, tag="b5s"),
+                         f"key nw={nw} cb={cb} cf={int(cf)}")
+
+    if int(os.environ.get("IDK_SWEEP_ROWS", "0")):
+        for rv in (8, 32):
+            profile_call(lambda rv=rv: PT.packet_trace_closest_steered(
+                *args, o2s, d2s, tm2s, rows=rv, tag="b5s"),
+                f"rows={rv}")
 
 
 if __name__ == "__main__":
