@@ -53,6 +53,104 @@ class VxgiSettings:
     strength: float = 1.0
 
 
+def _mips_atlas(radiance):
+    """Mip chain + flattened atlas from the (4,R,R,R) radiance grid —
+    one reduce_window per level on the channel-first grid (ref:
+    Voxelizer.cs:210-228 compute mip chain)."""
+    mips = [radiance]
+    m = radiance
+    while m.shape[1] > 4:
+        m = jax.lax.reduce_window(
+            m, 0.0, jax.lax.add,
+            window_dimensions=(1, 2, 2, 2), window_strides=(1, 2, 2, 2),
+            padding="VALID",
+        ) * 0.125
+        mips.append(m)
+    atlas = jnp.concatenate([mm.reshape(4, -1) for mm in mips], axis=1)
+    return tuple(mips), atlas
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit,
+          static_argnames=("res", "n_lights", "occlusion_fn"))
+def _voxelize_frame(tri, tri_p0, tri_e1, tri_e2, tri_gn, tri_mat,
+                    mat_base, mat_emis, lights, grid_min, grid_max, frame,
+                    res: int, n_lights: int, occlusion_fn=None):
+    """One voxelize pass: sample, light, scatter-max, mips, atlas.
+
+    occlusion_fn is a STATIC argument — pass a stable callable (a bound
+    method, not a fresh lambda) or jit retraces every frame."""
+    budget = tri.shape[0]
+    state = rng_mod.init_state(jnp.arange(budget, dtype=jnp.uint32), frame)
+    state, uv = rng_mod.uniform2(state)
+    su = jnp.sqrt(uv[..., 0])
+    b1 = 1.0 - su
+    b2 = uv[..., 1] * su
+    # ONE packed row-gather for all per-sample attributes: separate
+    # per-component gathers cost ~26 ns/index EACH on TPU irrespective
+    # of table size (measured ~250 ms across 14 gathers); a single
+    # (T,18) row gather pays that latency once.
+    mat_tbl = jnp.concatenate([mat_base, mat_emis], axis=1)
+    packed = jnp.concatenate(
+        [tri_p0, tri_e1, tri_e2, tri_gn, mat_tbl[tri_mat]], axis=1)
+    g = packed[tri]
+    px = g[:, 0] + g[:, 3] * b1 + g[:, 6] * b2
+    py = g[:, 1] + g[:, 4] * b1 + g[:, 7] * b2
+    pz = g[:, 2] + g[:, 5] * b1 + g[:, 8] * b2
+    nx, ny, nz = g[:, 9], g[:, 10], g[:, 11]
+    ar, ag, ab = g[:, 12], g[:, 13], g[:, 14]
+
+    # direct lighting at each sample (shadowed, all lights)
+    rr, rg, rb = g[:, 15], g[:, 16], g[:, 17]
+    for li in range(n_lights):
+        l_pos = lights["pos"][li]
+        l_rad = lights["radiance"][li]
+        l_r = lights["radius"][li]
+        tlx, tly, tlz = l_pos[0] - px, l_pos[1] - py, l_pos[2] - pz
+        dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
+        inv = 1.0 / jnp.maximum(dist, 1e-8)
+        ldx, ldy, ldz = tlx * inv, tly * inv, tlz * inv
+        ndl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
+        att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
+        vis = 1.0
+        if occlusion_fn is not None:
+            o = jnp.stack(
+                [px + nx * 1e-3, py + ny * 1e-3, pz + nz * 1e-3], -1)
+            d = jnp.stack([ldx, ldy, ldz], -1)
+            occ = occlusion_fn(o, d, dist - 1e-2)
+            vis = 1.0 - occ.astype(jnp.float32)
+        w = ndl * att * vis / jnp.pi
+        rr = rr + ar * l_rad[0] * w
+        rg = rg + ag * l_rad[1] * w
+        rb = rb + ab * l_rad[2] * w
+
+    # scatter with per-voxel MAX (flicker-free like the atomicMax path).
+    # On TPU the sort + one-hot-MXU kernel replaces XLA scatter-max
+    # (~90 ns/update floor, tools/bench_scatter.py); bf16 matches the
+    # reference's rgba16f voxel precision (Voxelizer.cs:12-17).
+    ext = grid_max - grid_min
+    cx = jnp.clip((px - grid_min[0]) / ext[0] * res,
+                  0, res - 1e-3).astype(jnp.int32)
+    cy = jnp.clip((py - grid_min[1]) / ext[1] * res,
+                  0, res - 1e-3).astype(jnp.int32)
+    cz = jnp.clip((pz - grid_min[2]) / ext[2] * res,
+                  0, res - 1e-3).astype(jnp.int32)
+    cell_id = (cx * res + cy) * res + cz
+    vals = jnp.stack([rr, rg, rb, jnp.ones((budget,), jnp.float32)], 0)
+    n_cells = res * res * res
+    if jax.default_backend() == "tpu" and n_cells % 128 == 0:
+        grid = voxel_scatter.scatter_max_dense(cell_id, vals, n_cells,
+                                               bf16=True)
+    else:
+        grid = jnp.zeros((4, n_cells), jnp.float32)
+        grid = grid.at[:, cell_id].max(vals)
+    radiance = grid.reshape(4, res, res, res)
+    mips, atlas = _mips_atlas(radiance)
+    return radiance, mips, atlas
+
+
 class VoxelGrid:
     """World-aligned radiance grid (ref: rgba16f 3D texture, UBO 7 params)."""
 
@@ -66,6 +164,13 @@ class VoxelGrid:
         # static per-level tables for the atlas (filled by _build_mips)
         self._res_levels = None
         self._offsets = None
+        # per-scene cached sample->triangle assignment (host, once):
+        # the area-proportional map depends only on geometry + grid, not
+        # the frame, so the monotone searchsorted runs in numpy once per
+        # scene instead of a 90 ns/update device scatter every voxelize
+        # (2.75M updates ~ 250 ms/frame at the bench scene).
+        self._assign_key = None
+        self._tri_assign = None
 
     # ------------------------------------------------------------------
     def voxelize(self, scene, mats, lights, n_lights: int, frame=0,
@@ -80,119 +185,64 @@ class VoxelGrid:
         res = s.resolution
         t = scene.tri_p0.shape[0]
 
-        # area-proportional sample budget per triangle
-        cross = jnp.cross(scene.tri_e1, scene.tri_e2)
-        area = 0.5 * jnp.linalg.norm(cross, axis=-1)
-        voxel = (self.grid_max - self.grid_min) / res
-        vox_area = jnp.mean(voxel) ** 2
-        want = jnp.ceil(area / jnp.maximum(vox_area, 1e-12) * s.samples_per_tri_unit)
-        want = jnp.clip(want, 1.0, 64.0)
-        total = jnp.cumsum(want)
-        try:
-            budget = min(s.max_samples, int(jnp.sum(want)))
-        except jax.errors.ConcretizationTypeError:
-            # under jit the sample count must be static: use the full budget
-            # (searchsorted assignment distributes it identically)
-            budget = s.max_samples
+        # Deterministic area-proportional sample -> triangle assignment,
+        # computed ON HOST once per scene (see __init__ note). Samples are
+        # uniformly spaced in cumulative-area space, so the map is a
+        # monotone searchsorted — numpy does 1M queries into 2.75M keys in
+        # ~100 ms, once, vs a 2.75M-update device scatter every frame (the
+        # device alternatives both lose: scatter-max ~90 ns/update,
+        # jnp.searchsorted lowers to a serial while loop, 127 ms/1M).
+        akey = (id(scene.tri_p0), t, res, s.max_samples,
+                s.samples_per_tri_unit)
+        if self._assign_key != akey:
+            e1 = np.asarray(scene.tri_e1)
+            e2 = np.asarray(scene.tri_e2)
+            area = 0.5 * np.linalg.norm(np.cross(e1, e2), axis=-1)
+            voxel = np.asarray(self.grid_max - self.grid_min) / res
+            vox_area = float(np.mean(voxel)) ** 2
+            want = np.clip(np.ceil(
+                area / max(vox_area, 1e-12) * s.samples_per_tri_unit),
+                1.0, 64.0)
+            total = np.cumsum(want)
+            budget = int(min(s.max_samples, total[-1]))
+            u = (np.arange(budget, dtype=np.float64) + 0.5) * (
+                total[-1] / budget)
+            tri_np = np.minimum(
+                np.searchsorted(total, u, side="right"), t - 1)
+            self._tri_assign = jnp.asarray(tri_np.astype(np.int32))
+            self._assign_key = akey
+        tri = self._tri_assign
 
-        # deterministic sample → triangle assignment. NOT searchsorted — on
-        # TPU searchsorted lowers to a serial while loop (measured 127 ms
-        # for 1M queries). Samples are uniformly spaced in cumulative-area
-        # space, so tri(u) is monotone: scatter each triangle's first sample
-        # slot, then forward-fill with a max-scan.
-        step = total[-1] / budget
-        prev = jnp.concatenate([jnp.zeros((1,), jnp.float32), total[:-1]])
-        first = jnp.ceil(prev / step - 0.5).astype(jnp.int32)
-        first = jnp.clip(first, 0, budget - 1)
-        marks = jnp.zeros((budget,), jnp.int32).at[first].max(
-            jnp.arange(t, dtype=jnp.int32))
-        tri = jax.lax.associative_scan(jnp.maximum, marks)
-
-        state = rng_mod.init_state(jnp.arange(budget, dtype=jnp.uint32), frame)
-        state, uv = rng_mod.uniform2(state)
-        su = jnp.sqrt(uv[..., 0])
-        b1 = 1.0 - su
-        b2 = uv[..., 1] * su
-        # ONE packed row-gather for all per-sample attributes: separate
-        # per-component gathers cost ~26 ns/index EACH on TPU irrespective
-        # of table size (measured ~250 ms across 14 gathers); a single
-        # (T,18) row gather pays that latency once.
-        mat_tbl = jnp.concatenate(
-            [mats["base_color"][:, :3], mats["emissive"][:, :3]], axis=1)
-        packed = jnp.concatenate(
-            [scene.tri_p0, scene.tri_e1, scene.tri_e2, scene.tri_gn,
-             mat_tbl[scene.tri_mat]], axis=1)
-        g = packed[tri]
-        px = g[:, 0] + g[:, 3] * b1 + g[:, 6] * b2
-        py = g[:, 1] + g[:, 4] * b1 + g[:, 7] * b2
-        pz = g[:, 2] + g[:, 5] * b1 + g[:, 8] * b2
-        nx, ny, nz = g[:, 9], g[:, 10], g[:, 11]
-        ar, ag, ab = g[:, 12], g[:, 13], g[:, 14]
-
-        # direct lighting at each sample (shadowed, all lights)
-        rr, rg, rb = g[:, 15], g[:, 16], g[:, 17]
-        for li in range(n_lights):
-            l_pos = lights["pos"][li]
-            l_rad = lights["radiance"][li]
-            l_r = lights["radius"][li]
-            tlx, tly, tlz = l_pos[0] - px, l_pos[1] - py, l_pos[2] - pz
-            dist = jnp.sqrt(tlx * tlx + tly * tly + tlz * tlz)
-            inv = 1.0 / jnp.maximum(dist, 1e-8)
-            ldx, ldy, ldz = tlx * inv, tly * inv, tlz * inv
-            ndl = jnp.maximum(nx * ldx + ny * ldy + nz * ldz, 0.0)
-            att = jnp.pi * l_r * l_r / jnp.maximum(dist * dist, 1e-4)
-            vis = 1.0
-            if occlusion_fn is not None:
-                o = jnp.stack([px + nx * 1e-3, py + ny * 1e-3, pz + nz * 1e-3], -1)
-                d = jnp.stack([ldx, ldy, ldz], -1)
-                occ = occlusion_fn(o, d, dist - 1e-2)
-                vis = 1.0 - occ.astype(jnp.float32)
-            w = ndl * att * vis / jnp.pi
-            rr = rr + ar * l_rad[0] * w
-            rg = rg + ag * l_rad[1] * w
-            rb = rb + ab * l_rad[2] * w
-
-        # scatter with per-voxel MAX (flicker-free like the atomicMax path).
-        # On TPU the sort + one-hot-MXU kernel replaces XLA scatter-max
-        # (~90 ns/update floor, tools/bench_scatter.py); bf16 matches the
-        # reference's rgba16f voxel precision (Voxelizer.cs:12-17).
-        ext = self.grid_max - self.grid_min
-        cx = jnp.clip((px - self.grid_min[0]) / ext[0] * res, 0, res - 1e-3).astype(jnp.int32)
-        cy = jnp.clip((py - self.grid_min[1]) / ext[1] * res, 0, res - 1e-3).astype(jnp.int32)
-        cz = jnp.clip((pz - self.grid_min[2]) / ext[2] * res, 0, res - 1e-3).astype(jnp.int32)
-        cell_id = (cx * res + cy) * res + cz
-        vals = jnp.stack([rr, rg, rb, jnp.ones((budget,), jnp.float32)], 0)
-        n_cells = res * res * res
-        if jax.default_backend() == "tpu" and n_cells % 128 == 0:
-            grid = voxel_scatter.scatter_max_dense(cell_id, vals, n_cells,
-                                                   bf16=True)
-        else:
-            grid = jnp.zeros((4, n_cells), jnp.float32)
-            grid = grid.at[:, cell_id].max(vals)
-        self.radiance = grid.reshape(4, res, res, res)
-        self._build_mips()
+        # The whole per-frame pass (sampling, lighting, scatter, mips,
+        # atlas) runs as ONE jitted program: the eager per-op dispatch
+        # alone cost ~1-2 ms/op over the device tunnel and blocked every
+        # cross-op fusion (round-5 driver capture: 533 ms at 2.8M where
+        # the jitted pass is budgeted <100 ms).
+        out = _voxelize_frame(
+            tri, scene.tri_p0, scene.tri_e1, scene.tri_e2, scene.tri_gn,
+            scene.tri_mat, mats["base_color"][:, :3],
+            mats["emissive"][:, :3], lights, self.grid_min, self.grid_max,
+            jnp.uint32(frame), res=res, n_lights=n_lights,
+            occlusion_fn=occlusion_fn)
+        self.radiance, self.mips, self._atlas = (
+            out[0], list(out[1]), out[2])
+        self._set_mip_tables()
         return self.radiance
 
     # ------------------------------------------------------------------
-    def _build_mips(self):
-        """Average-downsample mip chain (ref: Voxelizer.cs mip compute) —
-        one reduce_window per level on the channel-first grid."""
-        self.mips = [self.radiance]
-        m = self.radiance
-        while m.shape[1] > 4:
-            m = jax.lax.reduce_window(
-                m, 0.0, jax.lax.add,
-                window_dimensions=(1, 2, 2, 2), window_strides=(1, 2, 2, 2),
-                padding="VALID",
-            ) * 0.125
-            self.mips.append(m)
-        # flattened atlas for dynamic-LOD sampling: (4, sum R_l^3)
-        self._res_levels = jnp.asarray([m.shape[1] for m in self.mips], jnp.int32)
+    def _set_mip_tables(self):
+        self._res_levels = jnp.asarray(
+            [m.shape[1] for m in self.mips], jnp.int32)
         sizes = [int(m.shape[1]) ** 3 for m in self.mips]
-        self._offsets = jnp.asarray(np.concatenate([[0], np.cumsum(sizes[:-1])]),
-                                    jnp.int32)
-        self._atlas = jnp.concatenate(
-            [m.reshape(4, -1) for m in self.mips], axis=1)
+        self._offsets = jnp.asarray(
+            np.concatenate([[0], np.cumsum(sizes[:-1])]), jnp.int32)
+
+    def _build_mips(self):
+        """Average-downsample mip chain (ref: Voxelizer.cs mip compute)."""
+        mips, atlas = _mips_atlas(self.radiance)
+        self.mips = list(mips)
+        self._atlas = atlas
+        self._set_mip_tables()
 
     # ------------------------------------------------------------------
     def _sample_level(self, lvl, px, py, pz):
