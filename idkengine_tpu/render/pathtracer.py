@@ -223,6 +223,17 @@ class PathTracer:
         inst_attr_srcs=None,
         slot_shading=None,
     ):
+        import time as _time
+        _t0 = _time.time()
+        _prof = bool(int(os.environ.get("IDK_INIT_PROFILE", "0")))
+
+        def _ph(name):
+            nonlocal _t0
+            if _prof:
+                now = _time.time()
+                print(f"# pt-init {name} {now - _t0:.1f}s", flush=True)
+                _t0 = now
+
         self.scene = scene
         self.packet_scene = packet_scene
         # wave_boxes: (S,3) min/max segment root boxes — enables the segment
@@ -262,9 +273,11 @@ class PathTracer:
         self.accumulated_samples = 0
         self._frame = 0
         self._compiled = {}
+        _ph("mats+env+accum")
         swz_np = tile_swizzle(width, height)
         self._swz = jnp.asarray(swz_np)
         self._inv_swz = jnp.asarray(np.argsort(swz_np).astype(np.int32))
+        _ph("swizzle")
         # ONE packed per-hit attribute table: XLA gather on TPU costs per
         # OUTPUT ROW (flat in width — measured ~25 ms per 2M-row gather
         # regardless of table size), so material factors are baked per
@@ -408,6 +421,7 @@ class PathTracer:
             scene.tri_e1, scene.tri_e2, sh_rows_d, jnp.asarray(mat_f),
             jnp.asarray(alphas_np, jnp.float32),
             jnp.asarray(cutoffs_np, jnp.float32))]
+        _ph("pack_attr_dev dispatch")
         self._has_mesh_shading = bool(
             slot_shading is not None
             and np.any(np.asarray(slot_shading, np.float32)
@@ -435,6 +449,7 @@ class PathTracer:
         packed = parts[0] if len(parts) == 1 else jnp.concatenate(parts, 0)
         assert bool(jnp.isfinite(packed).all()), \
             "attr table must stay NaN/Inf-free"
+        _ph("pack exec+finite check")
         if int(os.environ.get("IDK_ATTR_ROWS", "1")):
             # rows padded to a sublane multiple, and never exactly ATTR_CH
             # so the shape can't be mistaken for a channel-first table
@@ -443,6 +458,9 @@ class PathTracer:
                 : packed.shape[0], :ATTR_CH].set(packed)
         else:
             self._attr = jnp.ascontiguousarray(packed.T)
+        if _prof:
+            jax.block_until_ready(self._attr)
+        _ph("attr pad")
         self.instances = instances
         # static feature gates: keep the hot path untouched for scenes
         # without alpha-tested or normal-mapped materials

@@ -37,8 +37,10 @@ def main():
         max_leaf_triangle_count=12, traversal_cost=4.0, presplit_factor=0.0))
     db.add_model(atrium(tris))
     scene = db.build()
-    mats = db.materials.device_tables()
-    lights = db.lights.device_tables()
+    mats = db.materials.soa()
+    db.lights.add([0.0, 10.5, 0.0], [40.0, 38.0, 35.0], radius=0.8)
+    db.lights.add([6.0, 4.0, -20.0], [20.0, 10.0, 5.0], radius=0.5)
+    lights = db.lights.soa()
     cam = Camera(position=np.array([0, 3, 24], np.float32), yaw=-90.0,
                  fov_y=65.0)
 
@@ -61,15 +63,28 @@ def main():
     tmf = lambda x: np.asarray(tonemap(jnp.asarray(x)))
     base_lin = rmse(noisy, ref)
     base_tm = rmse(tmf(noisy), tmf(ref))
+    variants = [("default", DenoiseSettings())]
+    for it in (1, 2, 3):
+        for sc in (0.5, 1.0, 2.0):
+            variants.append((f"it={it} sc={sc}", DenoiseSettings(
+                iterations=it, sigma_color=sc)))
     for c in clamps:
+        variants.append((f"clamp={c}", DenoiseSettings(firefly_clamp=c)))
+    for name, st in variants:
         den = np.asarray(atrous_denoise(
             img8, alb.reshape(Hd, Wd, 3), nrm.reshape(Hd, Wd, 3),
-            dep.reshape(Hd, Wd), settings=DenoiseSettings(firefly_clamp=c),
-            variance=var))
+            dep.reshape(Hd, Wd), settings=st, variance=var))
         lin = rmse(den, ref) / max(base_lin, 1e-12)
         tmr = rmse(tmf(den), tmf(ref)) / max(base_tm, 1e-12)
-        print(f"clamp={c:5.1f}  linear {lin:.4f}  tonemapped {tmr:.4f}",
-              flush=True)
+        # where does the linear regression come from? split the error
+        # delta by reference brightness decile
+        d2 = ((den - ref) ** 2).mean(-1)
+        n2 = ((noisy - ref) ** 2).mean(-1)
+        lum = ref.mean(-1)
+        bright = lum > np.percentile(lum, 90)
+        top = (d2 - n2)[bright].sum() / max((d2 - n2).sum(), 1e-12)
+        print(f"{name:14s}  linear {lin:.4f}  tonemapped {tmr:.4f}"
+              f"  bright10%-share-of-delta {top:.2f}", flush=True)
 
 
 if __name__ == "__main__":
