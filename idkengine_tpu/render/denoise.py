@@ -46,14 +46,20 @@ class DenoiseSettings:
     albedo_floor: float = 0.05  # below this, a pixel is not demodulated
     # Firefly suppression before filtering: clamp a pixel's irradiance
     # luminance to `firefly_clamp` x the mean of its 8 neighbours (0 = off).
-    # Rationale (round-5 gate failure): the a-trous loop GATHERS — a single
-    # hot outlier inflates the 3x3-blurred variance of every neighbour, so
-    # their sigma_l grows and they ACCEPT the firefly; the filter then
-    # spreads the outlier's energy and linear RMSE lands ABOVE the noisy
-    # input (measured 1.17x at 8 spp, 256^2 atrium) while tonemapped RMSE
-    # improves (0.48x). Clamping only extreme outliers (>8x the local mean)
-    # biases exactly the pixels the estimator has not resolved anyway.
+    # Measured neutral on the atrium gate (no fireflies at 8 spp there)
+    # but kept as cheap insurance for specular-heavy content.
     firefly_clamp: float = 8.0
+    # Variance-confidence blend (0 = off): the final output is
+    # lerp(noisy, filtered, rv/(rv+k)) with rv the RELATIVE variance
+    # var/lum^2. Round-5 gate diagnosis: the linear-RMSE regression (1.15x
+    # at 8 spp, 256^2 atrium) lives entirely in the brightest decile —
+    # direct-lit/emissive/sky pixels are near-converged at 8 spp (NEE makes
+    # direct light low-variance), so ANY filter bias there exceeds the
+    # residual noise. Keeping the unbiased estimate where relative variance
+    # is tiny and the filter where it is large optimizes exactly the
+    # bias-variance tradeoff the RMSE gate scores (SVGF's temporal
+    # confidence plays this role in the original).
+    variance_blend: float = 4e-3
 
 
 _KERNEL = [1.0 / 16, 1.0 / 4, 3.0 / 8, 1.0 / 4, 1.0 / 16]  # B3 spline
@@ -164,4 +170,10 @@ def atrous_denoise(color, albedo, normal, depth,
         out = acc / jnp.maximum(wsum, 1e-8)
         if var is not None:
             var = v_acc / jnp.maximum(w2sum, 1e-8) ** 2
-    return out * demod
+    result = out * demod
+    if variance is not None and s.variance_blend > 0.0:
+        lum_c = _luminance(color)
+        rv = variance / jnp.maximum(lum_c * lum_c, 1e-8)
+        w_f = (rv / (rv + s.variance_blend))[..., None]
+        result = color + (result - color) * w_f
+    return result

@@ -70,6 +70,11 @@ def main():
                 iterations=it, sigma_color=sc)))
     for c in clamps:
         variants.append((f"clamp={c}", DenoiseSettings(firefly_clamp=c)))
+    for vb in (0.0, 1e-3, 4e-3, 1e-2, 4e-2):
+        variants.append((f"vb={vb}", DenoiseSettings(variance_blend=vb)))
+    for vb in (4e-3, 1e-2):
+        variants.append((f"vb={vb} it=2 sc=1", DenoiseSettings(
+            variance_blend=vb, iterations=2, sigma_color=1.0)))
     for name, st in variants:
         den = np.asarray(atrous_denoise(
             img8, alb.reshape(Hd, Wd, 3), nrm.reshape(Hd, Wd, 3),
